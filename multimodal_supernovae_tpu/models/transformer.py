@@ -1,0 +1,242 @@
+"""Sequence encoders: transformer with continuous time/wavelength positional
+encoding, band embeddings, and masked aggregation.
+
+Architecture semantics match the reference's ``TransformerWithTimeEmbeddings``
+stack (src/transformer_utils.py) — post-norm blocks, e**-1/4 q/k scaling,
+-1e7 key-mask fill, band-blocked band embeddings, masked mean / max /
+attention-pooled / full-sequence aggregation — re-expressed as flax.linen
+modules over fused XLA/Pallas attention cores (ops/attention.py).
+
+Parameter names deliberately mirror the reference state_dict keys
+(tokeys/toqueries/tovalues/unifyheads, norm1/norm2, embedding_mag, band_emb,
+projection, ...) so reference checkpoints can be imported by a mechanical
+name/transpose mapping (models/factory.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import attention
+
+
+def time_positional_encoding(t: jax.Array, d_emb: int, norm: float) -> jax.Array:
+    """Sinusoidal encoding of continuous observation times/wavelengths.
+
+    Unlike token-index positional encodings, the argument is the physical
+    time (or wavelength) value itself; ``norm`` is the tunable wavelength
+    base (the ``time_norm`` hyperparameter). Matches
+    ``TimePositionalEncoding`` (src/transformer_utils.py:156-176):
+    even channels sin, odd channels cos, shared frequency per pair.
+
+    Args: t (B, T); returns (B, T, d_emb).
+    """
+    half = d_emb // 2
+    div = jnp.exp(
+        jnp.arange(0, d_emb, 2, dtype=jnp.float32) * (-math.log(norm) / d_emb)
+    )  # (half,)
+    arg = t[..., None] * div  # (B, T, half)
+    pe = jnp.stack([jnp.sin(arg), jnp.cos(arg)], axis=-1)  # (B, T, half, 2)
+    return pe.reshape(*t.shape, 2 * half)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention: separate bias-free K/Q/V projections, the
+    reference's full-emb e**-1/4 scaling, additive-mask softmax, and a biased
+    head-unification projection (src/transformer_utils.py:8-89)."""
+
+    emb: int
+    heads: int = 2
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        b, t, e = x.shape
+        assert e == self.emb, f"input dim {e} != layer emb {self.emb}"
+        assert e % self.heads == 0
+        s = e // self.heads
+
+        keys = nn.Dense(e, use_bias=False, name="tokeys")(x)
+        queries = nn.Dense(e, use_bias=False, name="toqueries")(x)
+        values = nn.Dense(e, use_bias=False, name="tovalues")(x)
+
+        def to_heads(a):
+            return a.reshape(b, t, self.heads, s).transpose(0, 2, 1, 3)
+
+        out = attention(
+            to_heads(queries),
+            to_heads(keys),
+            to_heads(values),
+            mask,
+            emb=e,
+            use_pallas=self.use_pallas,
+        )  # (B, H, T, S)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, e)
+        return nn.Dense(e, name="unifyheads")(out)
+
+
+class TransformerBlock(nn.Module):
+    """Post-norm block: ``norm1(attn(x) + x)`` -> dropout ->
+    ``norm2(ff(x) + x)`` -> dropout, with a ReLU MLP of width
+    ``ff_hidden_mult * emb`` (src/transformer_utils.py:92-116)."""
+
+    emb: int
+    heads: int
+    ff_hidden_mult: int = 4
+    dropout: float = 0.0
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
+    ) -> jax.Array:
+        attended = SelfAttention(
+            self.emb, self.heads, use_pallas=self.use_pallas, name="attention"
+        )(x, mask)
+        x = nn.LayerNorm(name="norm1")(attended + x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        h = nn.Dense(self.ff_hidden_mult * self.emb, name="ff_in")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.emb, name="ff_out")(h)
+        x = nn.LayerNorm(name="norm2")(h + x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class Transformer(nn.Module):
+    """Input dropout + a stack of post-norm blocks
+    (src/transformer_utils.py:119-153)."""
+
+    emb: int
+    heads: int
+    depth: int
+    ff_hidden_mult: int = 4
+    dropout: float = 0.0
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
+    ) -> jax.Array:
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        for i in range(self.depth):
+            x = TransformerBlock(
+                self.emb,
+                self.heads,
+                self.ff_hidden_mult,
+                self.dropout,
+                use_pallas=self.use_pallas,
+                name=f"block_{i}",
+            )(x, mask, train)
+        return x
+
+
+class TorchStyleMHA(nn.Module):
+    """Attention-pooling MHA with torch ``nn.MultiheadAttention`` semantics:
+    packed in-projection with bias, per-head 1/sqrt(head_dim) scaling, biased
+    out-projection. Used only by the ``agg='attn'`` pooling head
+    (src/transformer_utils.py:204-207, :241-247), which attends a learned
+    query over the (already pad-zeroed, unmasked) sequence."""
+
+    emb: int
+    heads: int = 2
+
+    @nn.compact
+    def __call__(self, q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+        e, h = self.emb, self.heads
+        s = e // h
+        qp = nn.Dense(e, name="q_proj")(q)
+        kp = nn.Dense(e, name="k_proj")(k)
+        vp = nn.Dense(e, name="v_proj")(v)
+
+        def to_heads(a):
+            return a.reshape(a.shape[0], a.shape[1], h, s).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = to_heads(qp), to_heads(kp), to_heads(vp)
+        scores = jnp.einsum("bhts,bhus->bhtu", qh, kh) / math.sqrt(s)
+        w = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhtu,bhus->bhts", w, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], e)
+        return nn.Dense(e, name="out_proj")(out)
+
+
+class SequenceEncoder(nn.Module):
+    """Transformer encoder over (value, time) sequences — the TPU rebuild of
+    ``TransformerWithTimeEmbeddings`` (src/transformer_utils.py:179-253).
+
+    Pipeline: ``Dense(1->emb)(value) + time_PE(t) [+ band embedding]`` ->
+    transformer -> zero padded positions -> aggregate -> ``Dense(emb->n_out)``.
+
+    ``nband > 1`` expects the band-blocked layout (band b occupies sequence
+    positions [b*T/nband, (b+1)*T/nband)) and adds a learned per-band
+    embedding. Aggregations: 'mean' (mask-weighted), 'max' (over the
+    pad-zeroed sequence), 'attn' (learned query + TorchStyleMHA), and
+    'pretraining' (returns the full pad-zeroed sequence, no projection).
+    """
+
+    n_out: int
+    emb: int
+    heads: int = 2
+    depth: int = 8
+    ff_hidden_mult: int = 4
+    dropout: float = 0.0
+    nband: int = 1
+    agg: str = "mean"
+    time_norm: float = 10000.0
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        if x.ndim == 2:
+            x = x[..., None]  # add the value-channel dim
+        h = nn.Dense(self.emb, name="embedding_mag")(x)
+        h = h + time_positional_encoding(t, self.emb, self.time_norm).astype(h.dtype)
+
+        if self.nband > 1:
+            seq_len = h.shape[1]
+            band_ids = jnp.repeat(
+                jnp.arange(self.nband), seq_len // self.nband
+            )  # band-blocked layout (src/transformer_utils.py:219-231)
+            b_emb = nn.Embed(self.nband, self.emb, name="band_emb")(band_ids)
+            h = h + b_emb[None, :, :]
+
+        h = Transformer(
+            self.emb,
+            self.heads,
+            self.depth,
+            self.ff_hidden_mult,
+            self.dropout,
+            use_pallas=self.use_pallas,
+            name="transformer",
+        )(h, mask, train)
+
+        if mask is not None:
+            h = h * mask[:, :, None].astype(h.dtype)
+
+        if self.agg == "mean":
+            h = h.sum(axis=1) / mask.sum(axis=1).astype(h.dtype)[:, None]
+        elif self.agg == "max":
+            h = h.max(axis=1)
+        elif self.agg == "attn":
+            query = self.param(
+                "query", nn.initializers.uniform(scale=1.0), (self.emb,)
+            )  # torch.rand init (src/transformer_utils.py:204)
+            q = jnp.broadcast_to(query[None, None, :], (h.shape[0], 1, self.emb))
+            h = TorchStyleMHA(self.emb, heads=2, name="agg_attn")(q, h, h)[:, 0, :]
+        elif self.agg == "pretraining":
+            return h
+        else:
+            raise ValueError(f"unknown agg: {self.agg}")
+
+        return nn.Dense(self.n_out, name="projection")(h)

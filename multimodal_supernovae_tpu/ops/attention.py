@@ -1,0 +1,83 @@
+"""Attention cores.
+
+``dense_attention`` reproduces the reference's from-scratch MHSA math
+(src/transformer_utils.py:36-89) as a pure function over already-projected
+q/k/v:
+
+  * q and k are each scaled by ``emb ** -0.25`` (the reference divides both
+    by ``e ** (1/4)`` instead of dividing scores by ``sqrt(e)``; note the
+    scale uses the FULL embedding dim, not the per-head dim);
+  * padded KEY positions are set (not added) to -1e7 before the softmax
+    (masked_fill at src/transformer_utils.py:77 — a large-negative fill, not
+    -inf, so fully-padded rows still produce finite uniform weights);
+  * softmax over keys, then the value contraction.
+
+Everything stays in one einsum-softmax-einsum chain that XLA fuses; scores
+use float32 accumulation regardless of input dtype (bfloat16-safe).
+
+``attention`` dispatches between this XLA path and the Pallas flash kernel
+(ops/pallas_attention.py) for long sequences on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MASK_FILL = -1e7
+
+
+def dense_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array],
+    emb: int,
+) -> jax.Array:
+    """Multi-head attention with the reference's scaling and masking.
+
+    Args:
+      q, k, v: (B, H, T, S) projected heads.
+      key_mask: (B, T) bool — True where the KEY position is valid.
+      emb: full embedding dimension (H * S), used for the e**-1/4 scaling.
+
+    Returns:
+      (B, H, T, S) attention output (pre head-unification).
+    """
+    scale = emb ** -0.25
+    qs = (q * scale).astype(jnp.float32)
+    ks = (k * scale).astype(jnp.float32)
+    scores = jnp.einsum("bhts,bhus->bhtu", qs, ks)
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, :], scores, MASK_FILL)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhtu,bhus->bhts", weights.astype(v.dtype), v)
+    return out
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array],
+    emb: int,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatching attention entry point.
+
+    ``use_pallas=None`` auto-selects: the Pallas flash kernel is used on TPU
+    for sequences long enough that avoiding the HBM-materialised (T, T)
+    score tensor pays (the spectra encoder at T=1024). Short sequences (light
+    curves, T=200) stay on the fused XLA path.
+    """
+    if use_pallas is None:
+        use_pallas = (
+            q.shape[-2] >= 512 and jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        from .pallas_attention import flash_attention
+
+        return flash_attention(q, k, v, key_mask, emb)
+    return dense_attention(q, k, v, key_mask, emb)

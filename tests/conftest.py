@@ -1,0 +1,30 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding/collective tests
+instead target 8 virtual CPU devices. The session environment registers the
+TPU platform via sitecustomize before conftest runs, so plain env vars are
+too late — ``jax.config.update`` still works because no backend has been
+initialised yet at collection time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests may spawn
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
