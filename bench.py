@@ -1,0 +1,103 @@
+"""Headline benchmark: paired samples/sec/chip for contrastive CLIP
+pretraining (maven-lite config, real ZTF shapes), end-to-end train step
+including on-device augmentation, loss, grad and RAdam update.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "paired_samples/s/chip",
+   "vs_baseline": ratio}
+
+``vs_baseline`` compares against BASELINE_MEASURED.json (the torch-CPU
+reimplementation of the reference hot path, benchmarks/baseline_torch.py) —
+the reference publishes no throughput numbers and its stack cannot run in
+this image (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_supernovae_tpu.data.batching import epoch_indices
+    from multimodal_supernovae_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
+    from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
+    from multimodal_supernovae_tpu.training.step import make_epoch_runner
+
+    n_chips = len(jax.devices())
+    # maven-lite hyperparameters, real ZTF shapes
+    seq_lc = {"n_out": 32, "emb": 64, "heads": 8, "depth": 5,
+              "time_norm": 20583.37, "agg": "attn", "dropout": 0.0}
+    seq_sp = {"n_out": 32, "emb": 32, "heads": 2, "depth": 13,
+              "time_norm": 17945.14, "agg": "mean", "dropout": 0.0}
+    cfg = CLIPConfig.create(
+        combinations=("lightcurve", "spectral"), enc_dim=32, nband=2,
+        logit_scale_init=19.55, loss="softmax",
+        transformer_kwargs=seq_lc, transformer_spectral_kwargs=seq_sp,
+    )
+    model = CLIPModel(cfg)
+    ds = make_synthetic_dataset(n=max(2048, batch), n_max_lc=100, nband=2,
+                                n_max_sp=220, seed=0)
+
+    trainer = Trainer(
+        model, task="contrastive",
+        cfg=TrainerConfig(epochs=1, batch_size=batch, lr=5e-4, seed=0,
+                          noise_level_mag=1.0),
+        run_dir=None,
+    )
+    data = ds.to_device()
+    state = trainer.init_state(data.take(jnp.arange(batch)))
+    run_epoch = make_epoch_runner(model, noise_level_mag=1.0, donate=False)
+
+    rng = np.random.default_rng(0)
+    plan = epoch_indices(len(ds), batch, rng=rng, shuffle=True, pad="drop")
+    plan = jnp.asarray(plan[:steps_per_scan])
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    state2, losses = run_epoch(state, data, plan, key)
+    jax.block_until_ready(losses)
+
+    times = []
+    for i in range(scans):
+        t0 = time.perf_counter()
+        state2, losses = run_epoch(state2, data, plan, key)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    step_time = min(times) / steps_per_scan
+    samples_per_s = batch / step_time
+    per_chip = samples_per_s / n_chips
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)["paired_samples_per_sec"]
+        vs = per_chip / base
+
+    print(json.dumps({
+        "metric": "contrastive_pretrain_throughput",
+        "value": round(per_chip, 1),
+        "unit": "paired_samples/s/chip",
+        "vs_baseline": round(vs, 1) if vs is not None else None,
+        "detail": {
+            "batch": batch,
+            "step_time_ms": round(step_time * 1e3, 2),
+            "n_chips": n_chips,
+            "backend": jax.default_backend(),
+            "final_loss": float(losses[-1]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    main(batch)

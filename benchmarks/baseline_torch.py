@@ -1,0 +1,171 @@
+"""Measured stand-in for the reference's training hot path (torch, CPU).
+
+The reference repository (PyTorch-Lightning + NoisyDataLoader) cannot run in
+this image (pytorch_lightning/torchvision/wandb absent), and it publishes no
+throughput numbers (BASELINE.md). To have SOME measured baseline for
+bench.py's ``vs_baseline`` ratio, this script implements the same
+mathematical train step in plain torch on CPU — bimodal CLIP with the
+reference's transformer semantics (time-value sinusoidal PE, band
+embeddings, e**-1/4 q/k scaling, -1e7 key-mask fill, post-norm blocks,
+masked-mean aggregation), per-batch Gaussian noise augmentation, symmetric
+InfoNCE, RAdam — at maven-lite hyperparameters and real ZTF shapes.
+
+Writes BASELINE_MEASURED.json at the repo root. Run once per machine:
+    python benchmarks/baseline_torch.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class Block(nn.Module):
+    """Post-norm transformer block with the reference's attention math."""
+
+    def __init__(self, emb, heads, ff_mult=4):
+        super().__init__()
+        self.emb, self.heads = emb, heads
+        self.kqv = nn.ModuleDict(
+            {k: nn.Linear(emb, emb, bias=False) for k in ("k", "q", "v")}
+        )
+        self.unify = nn.Linear(emb, emb)
+        self.norm1, self.norm2 = nn.LayerNorm(emb), nn.LayerNorm(emb)
+        self.ff = nn.Sequential(
+            nn.Linear(emb, ff_mult * emb), nn.ReLU(), nn.Linear(ff_mult * emb, emb)
+        )
+
+    def forward(self, x, mask):
+        b, t, e = x.shape
+        h = self.heads
+        s = e // h
+        scale = e ** -0.25
+
+        def heads_of(a):
+            return a.view(b, t, h, s).transpose(1, 2)
+
+        q = heads_of(self.kqv["q"](x)) * scale
+        k = heads_of(self.kqv["k"](x)) * scale
+        v = heads_of(self.kqv["v"](x))
+        scores = q @ k.transpose(-1, -2)
+        scores = scores.masked_fill(~mask[:, None, None, :], -1e7)
+        att = (scores.softmax(-1) @ v).transpose(1, 2).reshape(b, t, e)
+        x = self.norm1(self.unify(att) + x)
+        return self.norm2(self.ff(x) + x)
+
+
+class SeqEncoder(nn.Module):
+    def __init__(self, emb, heads, depth, n_out, nband, time_norm):
+        super().__init__()
+        self.val = nn.Linear(1, emb)
+        self.time_norm = time_norm
+        self.emb = emb
+        self.nband = nband
+        if nband > 1:
+            self.band = nn.Embedding(nband, emb)
+        self.blocks = nn.ModuleList([Block(emb, heads) for _ in range(depth)])
+        self.proj = nn.Linear(emb, n_out)
+
+    def pe(self, t):
+        half = self.emb // 2
+        div = torch.exp(
+            torch.arange(0, self.emb, 2).float() * (-math.log(self.time_norm) / self.emb)
+        )
+        arg = t[..., None] * div
+        pe = torch.zeros(*t.shape, self.emb)
+        pe[..., 0::2] = torch.sin(arg)
+        pe[..., 1::2] = torch.cos(arg)
+        return pe
+
+    def forward(self, x, t, mask):
+        h = self.val(x[..., None]) + self.pe(t)
+        if self.nband > 1:
+            ids = torch.arange(self.nband).repeat_interleave(x.shape[1] // self.nband)
+            h = h + self.band(ids)[None]
+        for blk in self.blocks:
+            h = blk(h, mask)
+        h = h * mask[..., None]
+        h = h.sum(1) / mask.sum(1, keepdim=True)
+        return self.proj(h)
+
+
+class BaselineCLIP(nn.Module):
+    def __init__(self):
+        super().__init__()
+        # maven-lite hyperparameters (configs/maven-lite.yaml)
+        self.lc = SeqEncoder(64, 8, 5, 32, 2, 20583.37)
+        self.sp = SeqEncoder(32, 2, 13, 32, 1, 17945.14)
+        self.lc_proj = nn.Linear(32, 32)
+        self.sp_proj = nn.Linear(32, 32)
+        self.scale = nn.Parameter(torch.tensor(math.log(19.55)))
+        self.bias = nn.Parameter(torch.tensor(-10.0))
+
+    def forward(self, x_lc, t_lc, m_lc, x_sp, t_sp, m_sp):
+        e1 = F.normalize(self.lc_proj(self.lc(x_lc, t_lc, m_lc)), dim=-1)
+        e2 = F.normalize(self.sp_proj(self.sp(x_sp, t_sp, m_sp)), dim=-1)
+        logits = e2 @ e1.T * self.scale.exp() + self.bias
+        li = -F.log_softmax(logits, dim=1).diag().mean()
+        lt = -F.log_softmax(logits, dim=0).diag().mean()
+        return (li + lt) / 2
+
+
+def main(batch=256, steps=8, warmup=2):
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    T, S = 200, 220
+    x_lc = torch.randn(batch, T)
+    t_lc = torch.rand(batch, T) * 100
+    m_lc = torch.rand(batch, T) > 0.2
+    e_lc = torch.rand(batch, T) * 0.1
+    x_sp = torch.randn(batch, S)
+    t_sp = torch.linspace(3000, 9000, S).repeat(batch, 1)
+    m_sp = torch.ones(batch, S, dtype=torch.bool)
+    e_sp = torch.rand(batch, S) * 0.1
+
+    model = BaselineCLIP()
+    opt = torch.optim.RAdam(model.parameters(), lr=3.7e-5)
+
+    times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        # per-batch augmentation (NoisyDataLoader equivalent)
+        noisy_lc = x_lc + torch.randn_like(x_lc) * e_lc
+        noisy_sp = x_sp + torch.randn_like(x_sp) * e_sp
+        loss = model(noisy_lc, t_lc, m_lc, noisy_sp, t_sp, m_sp)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+        print(f"step {i}: {dt*1000:.0f} ms loss={float(loss):.4f}", flush=True)
+
+    mean = sum(times) / len(times)
+    result = {
+        "paired_samples_per_sec": batch / mean,
+        "step_time_s": mean,
+        "batch": batch,
+        "device": "cpu",
+        "torch_threads": torch.get_num_threads(),
+        "provenance": (
+            "torch-CPU reimplementation of the reference train step "
+            "(maven-lite config, B=256, T=200 LC + S=220 spectra, "
+            "noise aug + CLIP softmax + RAdam); reference stack itself "
+            "cannot run in this image"
+        ),
+    }
+    out = os.path.join(os.path.dirname(__file__), "..", "BASELINE_MEASURED.json")
+    with open(os.path.abspath(out), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .embeddings import get_embeddings
+from .probes import linear_probe, knn_probe
+from .metrics import calculate_metrics, merge_kfold_results

@@ -243,10 +243,13 @@ class CLIPModel(nn.Module):
         self,
         batch: Batch,
         train: bool = False,
+        key: Optional[jax.Array] = None,
         gather_axis: Optional[str] = None,
     ) -> Tuple[jax.Array, Dict[str, Any]]:
         """Total training loss + auxiliary outputs.
 
+        ``key`` is part of the uniform trainable-module loss interface
+        (used by stochastic-mask objectives; unused here).
         ``gather_axis``: mesh axis name over which contrastive embeddings are
         all-gathered so the logit matrix spans the GLOBAL batch (negatives
         scale with chip count). None = single-device/global batch already.

@@ -69,7 +69,11 @@ class ClipMLPHead(nn.Module):
         return self.mlp_model(jnp.concatenate(embs, axis=-1), train=train)
 
     def loss_fn(
-        self, batch: Batch, train: bool = False
+        self,
+        batch: Batch,
+        train: bool = False,
+        key: Optional[jax.Array] = None,
+        gather_axis: Optional[str] = None,
     ) -> Tuple[jax.Array, Dict[str, Any]]:
         out = self(batch, train=train)
         if self.cfg.regression:

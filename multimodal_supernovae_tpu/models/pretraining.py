@@ -60,7 +60,11 @@ class MaskedLightCurveEncoder(nn.Module):
         self.last_layer = nn.Dense(1)
         self._emb = tk["emb"]
 
-    def __call__(self, x, t, mask=None, train: bool = False) -> jax.Array:
+    def __call__(self, batch, train: bool = False) -> jax.Array:
+        """Uniform batch interface: reconstruct the light-curve sequence."""
+        return self.predict(batch.x_lc, batch.t_lc, batch.mask_lc, train=train)
+
+    def predict(self, x, t, mask=None, train: bool = False) -> jax.Array:
         """Predict a value per sequence position: (B, T) -> (B, T)."""
         h = self.net(x, t, mask, train=train)  # (B, T, emb)
         return self.last_layer(h)[..., 0]
@@ -83,15 +87,26 @@ class MaskedLightCurveEncoder(nn.Module):
             padding_mask, self.cfg.nband, self.cfg.f_mask, key
         )
         x_masked = jnp.where(mask_keep, x, 0.0)
-        x_pred = self(x_masked, t, mask=padding_mask, train=train)
+        x_pred = self.predict(x_masked, t, mask=padding_mask, train=train)
         return x, x_pred, mask_pred
 
     def loss_fn(
-        self, x, t, padding_mask, key: jax.Array, train: bool = False
+        self,
+        batch,
+        train: bool = False,
+        key: Optional[jax.Array] = None,
+        gather_axis: Optional[str] = None,
     ) -> Tuple[jax.Array, Dict[str, Any]]:
         """MSE over the hidden positions only
-        (src/models_pretraining.py:225-235)."""
-        truth, pred, mask_pred = self.masked_pred(x, t, padding_mask, key, train)
+        (src/models_pretraining.py:225-235). Uniform trainable-module loss
+        interface: consumes the light-curve fields of the canonical batch
+        (the reference's 3-tuple and 9-tuple cases both reduce to these,
+        models_pretraining.py:225-235)."""
+        if key is None:
+            raise ValueError("masked pretraining loss requires a PRNG key")
+        truth, pred, mask_pred = self.masked_pred(
+            batch.x_lc, batch.t_lc, batch.mask_lc, key, train
+        )
         m = mask_pred.astype(pred.dtype)
         se = (truth - pred) ** 2 * m
         loss = se.sum() / jnp.maximum(m.sum(), 1.0)

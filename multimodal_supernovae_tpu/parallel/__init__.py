@@ -1,0 +1,2 @@
+from .mesh import make_mesh, DATA_AXIS, MODEL_AXIS
+from .sharding import batch_sharding, param_sharding_rules, shard_params

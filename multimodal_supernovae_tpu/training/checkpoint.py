@@ -1,0 +1,203 @@
+"""Checkpointing: orbax state + the reference's sidecar contract.
+
+A run directory contains:
+
+  * ``config.yaml``        — the flattened per-run config (the reference dumps
+                             wandb.config the same way, script_wandb.py:70-72);
+  * ``train_filenames.txt`` / ``val_filenames.txt`` — the exact split
+                             manifests, consumed at evaluation time to rebuild
+                             the split (script_wandb.py:58-67,
+                             models_multimodal.py:734-743);
+  * ``ckpt_best/``          — orbax, top-k by the monitored metric
+                             (ModelCheckpoint save_top_k=2 equivalent,
+                             script_wandb.py:197-219);
+  * ``ckpt_last/``          — orbax, the latest state (save_last=True).
+
+Cross-model weight surgery (the reference's state-dict manipulation,
+models_multimodal.py:761-831) becomes pytree grafting:
+
+  * ``graft_masked_pretrain_into_clip``: the masked pretrainer's ``net``
+    subtree drops into the CLIP model's ``lightcurve_encoder`` (the
+    ``net.``-prefix strip);
+  * ``merge_params_nonstrict``: copy every leaf whose path exists in both
+    trees (``load_state_dict(strict=False)``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+import yaml
+
+
+def save_run_sidecars(
+    run_dir: str,
+    config: Dict[str, Any],
+    train_filenames: Optional[Sequence[str]] = None,
+    val_filenames: Optional[Sequence[str]] = None,
+) -> None:
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(dict(config), f)
+    if train_filenames is not None:
+        np.savetxt(
+            os.path.join(run_dir, "train_filenames.txt"),
+            np.asarray(train_filenames, dtype=str),
+            fmt="%s",
+        )
+    if val_filenames is not None:
+        np.savetxt(
+            os.path.join(run_dir, "val_filenames.txt"),
+            np.asarray(val_filenames, dtype=str),
+            fmt="%s",
+        )
+
+
+def load_run_sidecars(run_dir: str):
+    with open(os.path.join(run_dir, "config.yaml")) as f:
+        config = yaml.safe_load(f)
+    def read_names(name):
+        path = os.path.join(run_dir, name)
+        if not os.path.exists(path):
+            return None
+        return [l.strip() for l in open(path) if l.strip()]
+    return config, read_names("train_filenames.txt"), read_names("val_filenames.txt")
+
+
+class CheckpointManager:
+    """Best-k + last checkpointing of {params, batch_stats, opt_state}."""
+
+    def __init__(
+        self,
+        run_dir: str,
+        monitor: str = "val_loss",
+        mode: str = "min",
+        keep_best: int = 2,
+    ):
+        self.run_dir = run_dir
+        self.monitor = monitor
+        sign = 1.0 if mode == "max" else -1.0
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep_best,
+            best_fn=lambda metrics: sign * metrics[monitor],
+            best_mode="max",
+        )
+        self._best = ocp.CheckpointManager(
+            os.path.join(os.path.abspath(run_dir), "ckpt_best"), options=options
+        )
+        self._last = ocp.CheckpointManager(
+            os.path.join(os.path.abspath(run_dir), "ckpt_last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+
+    @staticmethod
+    def _state_dict(state) -> Dict[str, Any]:
+        d = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        if state.batch_stats is not None:
+            d["batch_stats"] = state.batch_stats
+        return d
+
+    def save(self, epoch: int, state, metrics: Dict[str, float]) -> None:
+        metrics = {k: float(v) for k, v in metrics.items() if np.isfinite(v)}
+        sd = self._state_dict(state)
+        if self.monitor in metrics:
+            self._best.save(
+                epoch, args=ocp.args.StandardSave(sd), metrics=metrics
+            )
+        self._last.save(epoch, args=ocp.args.StandardSave(sd))
+
+    def wait(self) -> None:
+        self._best.wait_until_finished()
+        self._last.wait_until_finished()
+
+    def best_epoch(self) -> Optional[int]:
+        self.wait()
+        return self._best.best_step()
+
+    def restore(self, state, epoch: Optional[int] = None, which: str = "best"):
+        """Restore into the (template) TrainState; epoch None = best/latest."""
+        self.wait()
+        mgr = self._best if which == "best" else self._last
+        if epoch is None:
+            epoch = mgr.best_step() if which == "best" else mgr.latest_step()
+        template = self._state_dict(state)
+        restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+        return state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+        )
+
+    def close(self):
+        self._best.close()
+        self._last.close()
+
+
+# -- params-only export/import (for eval & transfer) -------------------------
+
+
+def save_params(path: str, params: Any, batch_stats: Any = None) -> None:
+    ckpt = ocp.StandardCheckpointer()
+    payload = {"params": params}
+    if batch_stats is not None:
+        payload["batch_stats"] = batch_stats
+    ckpt.save(os.path.abspath(path), payload)
+    ckpt.wait_until_finished()
+    ckpt.close()
+
+
+def load_params(path: str, template: Any) -> Any:
+    ckpt = ocp.StandardCheckpointer()
+    out = ckpt.restore(os.path.abspath(path), template)
+    ckpt.close()
+    return out
+
+
+# -- weight surgery ----------------------------------------------------------
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def merge_params_nonstrict(target: Dict, source: Dict) -> Dict:
+    """Copy every source leaf whose path exists in target with a matching
+    shape — ``load_state_dict(strict=False)`` semantics
+    (models_multimodal.py:817)."""
+    target = jax.tree_util.tree_map(lambda x: x, target)  # deep-ish copy
+
+    def walk(dst, src):
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                walk(dst[k], v)
+            elif not isinstance(v, dict) and not isinstance(dst[k], dict):
+                if getattr(dst[k], "shape", None) == getattr(v, "shape", None):
+                    dst[k] = v
+        return dst
+
+    return walk(target, source)
+
+
+def graft_masked_pretrain_into_clip(
+    clip_params: Dict, masked_params: Dict
+) -> Dict:
+    """Drop the masked pretrainer's encoder (``net`` subtree) into the CLIP
+    model's ``lightcurve_encoder`` — the reference's ``net.``-prefix-strip
+    transfer (models_multimodal.py:779-787)."""
+    out = jax.tree_util.tree_map(lambda x: x, clip_params)
+    out["lightcurve_encoder"] = merge_params_nonstrict(
+        out["lightcurve_encoder"], masked_params["net"]
+    )
+    return out

@@ -1,0 +1,303 @@
+"""The training loop: jitted scanned epochs, early stopping, checkpointing.
+
+Replaces the reference's PyTorch-Lightning ``Trainer`` + callbacks stack
+(script_wandb.py:229-243, SURVEY.md L3) with an explicit loop around ONE
+jitted program per epoch (training/step.py):
+
+  host                         device (TPU)
+  ----                         ------------
+  epoch index plan      ->     lax.scan over steps:
+  (shuffled, wrapped)            gather batch from HBM-resident dataset
+                                 -> jitted augmentation
+                                 -> loss / grad / RAdam update
+  epoch metrics         <-     per-step losses, eval aux (embeddings/preds)
+
+Per-epoch host work is a few scalars: metric computation (retrieval AUC, R2,
+macro-F1 — themselves jitted), early-stopping bookkeeping, orbax
+checkpointing and JSONL logging. This mirrors what LossTrackingCallback,
+ModelCheckpoint and EarlyStopping did for the reference
+(src/utils.py:164-209, script_wandb.py:197-243).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import ArrayDataset, Batch, epoch_indices
+from ..ops.metrics import macro_f1, r2_score, retrieval_auc
+from ..parallel.mesh import DATA_AXIS
+from ..parallel.sharding import batch_sharding, replicated, shard_params
+from .checkpoint import CheckpointManager, save_run_sidecars
+from .optim import build_optimizer
+from .state import TrainState
+from .step import make_epoch_runner, make_eval_runner
+from ..utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 10
+    batch_size: int = 32
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    patience: int = 10**9  # early-stopping patience (epochs)
+    seed: int = 0
+    noise_level_img: float = 0.0
+    noise_level_mag: float = 0.0
+    rotate_images: bool = True
+    # lr schedule (masked pretraining's StepLR)
+    step_size: Optional[int] = None
+    gamma: Optional[float] = None
+    # monitored metric for checkpoint/early-stop: None = auto by task
+    monitor: Optional[str] = None
+    mode: Optional[str] = None  # 'min' | 'max'
+    keep_best: int = 2
+    log_every_epochs: int = 1
+    eval_every_epochs: int = 1
+
+
+class Trainer:
+    """Config-driven trainer for any module exposing the uniform
+    ``loss_fn(batch, train, key, gather_axis)`` interface."""
+
+    def __init__(
+        self,
+        model,
+        task: str,  # 'contrastive' | 'regression' | 'classification' | 'masked'
+        cfg: TrainerConfig,
+        run_dir: Optional[str] = None,
+        mesh=None,
+        freeze=None,
+        use_wandb: bool = False,
+        n_classes: int = 5,
+    ):
+        self.model = model
+        self.task = task
+        self.cfg = cfg
+        self.run_dir = run_dir
+        self.mesh = mesh
+        self.freeze = freeze
+        self.n_classes = n_classes
+        self.use_wandb = use_wandb
+        monitor, mode = self._default_monitor()
+        self.monitor = cfg.monitor or monitor
+        self.mode = cfg.mode or mode
+
+    def _default_monitor(self) -> Tuple[str, str]:
+        # script_wandb.py:197-228: classification monitors f1_val (max),
+        # everything else val_loss (min).
+        if self.task == "classification":
+            return "f1_val", "max"
+        return "val_loss", "min"
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, example_batch: Batch) -> TrainState:
+        key = jax.random.PRNGKey(self.cfg.seed)
+        variables = self.model.init(key, example_batch)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        tx = build_optimizer(
+            lr=self.cfg.lr,
+            weight_decay=self.cfg.weight_decay,
+            step_size=self.cfg.step_size,
+            gamma=self.cfg.gamma,
+            freeze=self.freeze,
+            params=params,
+        )
+        if self.mesh is not None:
+            params = shard_params(params, self.mesh)
+        return TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=tx, batch_stats=batch_stats
+        )
+
+    # -- data placement ------------------------------------------------------
+
+    def _device_data(self, ds: ArrayDataset) -> Batch:
+        sharding = replicated(self.mesh) if self.mesh is not None else None
+        return ds.to_device(sharding)
+
+    def _plan_to_device(self, plan: np.ndarray):
+        arr = jnp.asarray(plan)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            arr = jax.device_put(
+                arr, NamedSharding(self.mesh, P(None, DATA_AXIS))
+            )
+        return arr
+
+    # -- fit -----------------------------------------------------------------
+
+    def fit(
+        self,
+        train_ds: ArrayDataset,
+        val_ds: ArrayDataset,
+        config_dump: Optional[Dict[str, Any]] = None,
+        state: Optional[TrainState] = None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        root_key = jax.random.PRNGKey(cfg.seed + 1)
+
+        if self.run_dir:
+            save_run_sidecars(
+                self.run_dir,
+                config_dump or dataclasses.asdict(cfg),
+                train_ds.filenames,
+                val_ds.filenames,
+            )
+            logger = MetricsLogger(self.run_dir, use_wandb=self.use_wandb)
+            ckpts = CheckpointManager(
+                self.run_dir, self.monitor, self.mode, cfg.keep_best
+            )
+        else:
+            logger, ckpts = None, None
+
+        train_data = self._device_data(train_ds)
+        val_data = self._device_data(val_ds)
+        example = train_data.take(jnp.arange(cfg.batch_size) % len(train_ds))
+        if state is None:
+            state = self.init_state(example)
+
+        run_epoch = make_epoch_runner(
+            self.model,
+            gather_axis=None,
+            noise_level_img=cfg.noise_level_img,
+            noise_level_mag=cfg.noise_level_mag,
+            rotate_images=cfg.rotate_images,
+        )
+        run_eval = make_eval_runner(self.model, gather_axis=None)
+
+        # Fixed-shape eval plan (sequential, tail repeats the last sample,
+        # trimmed after flattening).
+        val_plan = self._plan_to_device(
+            epoch_indices(len(val_ds), cfg.batch_size, shuffle=False, pad="repeat_last")
+        )
+        n_val = len(val_ds)
+
+        history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
+        metric_rows: List[Dict[str, float]] = []
+        best = {"value": None, "epoch": -1}
+        since_best = 0
+        t_start = time.time()
+        samples_per_epoch = None
+
+        for epoch in range(cfg.epochs):
+            plan = epoch_indices(
+                len(train_ds), cfg.batch_size, rng=rng, shuffle=True, pad="wrap"
+            )
+            samples_per_epoch = plan.size
+            root_key, ekey, vkey = jax.random.split(root_key, 3)
+            t0 = time.time()
+            state, losses = run_epoch(state, train_data, self._plan_to_device(plan), ekey)
+            train_loss = float(jnp.mean(losses))
+            step_time = (time.time() - t0) / plan.shape[0]
+            history["train_loss"].append(train_loss)
+
+            metrics: Dict[str, float] = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "step_time_s": step_time,
+                "samples_per_s": plan.shape[1] / max(step_time, 1e-9),
+            }
+
+            if epoch % cfg.eval_every_epochs == 0:
+                val_losses, aux = run_eval(state, val_data, val_plan, vkey)
+                metrics["val_loss"] = float(jnp.mean(val_losses))
+                history["val_loss"].append(metrics["val_loss"])
+                metrics.update(self._task_metrics(aux, val_ds, n_val))
+
+            metric_rows.append(metrics)
+            if logger:
+                logger.log(metrics, step=epoch)
+            if ckpts:
+                ckpts.save(epoch, state, metrics)
+
+            # early stopping on the monitored metric
+            if self.monitor in metrics:
+                current = metrics[self.monitor]
+                better = (
+                    best["value"] is None
+                    or (self.mode == "min" and current < best["value"])
+                    or (self.mode == "max" and current > best["value"])
+                )
+                if better:
+                    best = {"value": current, "epoch": epoch}
+                    since_best = 0
+                else:
+                    since_best += 1
+                if since_best > cfg.patience:
+                    break
+
+        result = {
+            "state": state,
+            "history": history,
+            "metric_rows": metric_rows,
+            "best": best,
+            "epochs_run": epoch + 1,
+            "wall_time_s": time.time() - t_start,
+        }
+        if logger:
+            # Run summaries mirroring script_wandb.py:248-253.
+            summary = {
+                f"best_{self.monitor}": best["value"],
+                "best_epoch": best["epoch"],
+            }
+            if history["val_loss"]:
+                summary["best_val_loss"] = float(np.min(history["val_loss"]))
+            aucs = [m["AUC_val"] for m in metric_rows if "AUC_val" in m]
+            if aucs:
+                summary["best_auc"] = float(np.max(aucs))
+            logger.set_summary(**summary)
+            logger.close()
+        if ckpts:
+            ckpts.wait()
+            result["best_ckpt_epoch"] = ckpts.best_epoch()
+            ckpts.close()
+        return result
+
+    # -- task metrics --------------------------------------------------------
+
+    def _task_metrics(
+        self, aux: Dict[str, Any], val_ds: ArrayDataset, n_val: int
+    ) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        if self.task == "contrastive":
+            embs = [
+                e.reshape(-1, e.shape[-1])[:n_val] for e in aux["embeddings"]
+            ]
+            # AUC_val (single pair) or AUC_val{1..k} (models_multimodal.py:527-556)
+            if len(embs) == 2:
+                out["AUC_val"] = float(retrieval_auc(embs[0], embs[1]))
+            else:
+                count = 1
+                aucs = []
+                for i in range(len(embs) - 1):
+                    for j in range(i + 1, len(embs)):
+                        a = float(retrieval_auc(embs[i], embs[j]))
+                        out[f"AUC_val{count}"] = a
+                        aucs.append(a)
+                        count += 1
+                out["AUC_val_mean"] = float(np.mean(aucs))
+        elif self.task == "regression":
+            pred = np.asarray(aux["pred"]).reshape(-1)[:n_val]
+            true = val_ds.arrays["redshift"][:n_val]
+            out["R2_val"] = float(r2_score(jnp.asarray(true), jnp.asarray(pred)))
+        elif self.task == "classification":
+            logits = np.asarray(aux["logits"])
+            logits = logits.reshape(-1, logits.shape[-1])[:n_val]
+            pred = logits.argmax(axis=-1)
+            true = val_ds.arrays["label"][:n_val]
+            out["f1_val"] = float(
+                macro_f1(jnp.asarray(true), jnp.asarray(pred), self.n_classes)
+            )
+        # masked: val_loss only
+        return out
