@@ -62,15 +62,19 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
     plan = jnp.asarray(plan[:steps_per_scan])
     key = jax.random.PRNGKey(0)
 
-    # compile + warmup
+    # compile + warmup. NOTE: sync via a VALUE FETCH, not block_until_ready —
+    # on the tunneled axon backend block_until_ready returns before the
+    # program finishes (verified empirically: scan length did not change its
+    # wall time), while a scalar fetch is a true execution barrier. The
+    # ~30 ms tunnel round trip amortises over steps_per_scan steps.
     state2, losses = run_epoch(state, data, plan, key)
-    jax.block_until_ready(losses)
+    float(losses.sum())
 
     times = []
     for i in range(scans):
         t0 = time.perf_counter()
         state2, losses = run_epoch(state2, data, plan, key)
-        jax.block_until_ready(losses)
+        float(losses.sum())
         times.append(time.perf_counter() - t0)
     step_time = min(times) / steps_per_scan
     samples_per_s = batch / step_time

@@ -71,7 +71,7 @@ def calculate_metrics(
         "Combination": combination,
         "id": id,
         "y_pred": np.asarray(y_pred),
-        "y_true": np.asarray(y_true),
+        "y_true": None if y_true is None else np.asarray(y_true),
         "y_true_label": None if y_true_label is None else np.asarray(y_true_label),
     }
     return metrics, results

@@ -52,5 +52,6 @@ def knn_probe(
     if y.ndim == 1:
         y = y[:, None]
     cls = KNeighborsRegressor if task == "regression" else KNeighborsClassifier
+    k = min(k, len(x_train))  # tiny datasets: clamp rather than crash
     model = cls(n_neighbors=k).fit(x_train, y if task == "regression" else y.ravel())
     return np.asarray(model.predict(x_val if x_val is not None else x_train)).ravel()

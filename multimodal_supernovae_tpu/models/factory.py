@@ -1,0 +1,306 @@
+"""Model factory: rebuild models and parameters from run directories, plus
+weight-surgery builders for the fine-tune/masked entry points and a
+reference (torch) checkpoint importer.
+
+Rebuild of the reference's factory trio (models_multimodal.py:559-831):
+
+  * ``load_run_config``    <- load_config (per-run config.yaml + parent
+                              sweep_config.yaml extra_args)
+  * ``initialize_from_run_dir`` <- initialize_model (nband=2, loss=softmax)
+  * ``load_model``         <- load_model (config + weights + the exact
+                              train/val filename manifests)
+
+plus ``import_reference_checkpoint``: maps a PyTorch-Lightning ``.ckpt``
+state_dict from the reference into this framework's parameter pytree
+(transposing torch Linear weights, splitting packed MHA projections),
+letting users of the original repo carry their trained models across.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import yaml
+
+from ..config.config import build_clip_config
+from ..data.batching import Batch
+from .clip import CLIPConfig, CLIPModel
+from .clip_mlp import ClipMLPConfig, ClipMLPHead
+from .pretraining import MaskedEncoderConfig, MaskedLightCurveEncoder
+
+
+def load_run_config(run_dir: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """(flattened run config, sweep extra_args) for a run directory.
+
+    Mirrors ``load_config`` (models_multimodal.py:559-580): the run's own
+    config.yaml plus the parent sweep directory's sweep_config.yaml.
+    """
+    with open(os.path.join(run_dir, "config.yaml")) as f:
+        run_cfg = yaml.safe_load(f)
+    sweep_dir = os.path.dirname(os.path.abspath(run_dir))
+    with open(os.path.join(sweep_dir, "sweep_config.yaml")) as f:
+        extra = yaml.safe_load(f).get("extra_args", {})
+    return run_cfg, extra
+
+
+def initialize_from_run_dir(
+    run_dir: str, combinations=None
+) -> Tuple[CLIPModel, Dict[str, Any], Dict[str, Any]]:
+    """Build an (uninitialised) CLIPModel from a run directory's config
+    (``initialize_model``, models_multimodal.py:583-680: nband=2, softmax)."""
+    run_cfg, extra = load_run_config(run_dir)
+    if combinations is not None:
+        extra = dict(extra, combinations=list(combinations))
+    extra = dict(extra, loss="softmax")
+    cfg = build_clip_config(run_cfg, extra, nband=2)
+    return CLIPModel(cfg), run_cfg, extra
+
+
+def load_model(run_dir: str, example_batch: Batch, which: str = "best"):
+    """Model + restored variables + split manifests from a run directory
+    (``load_model``, models_multimodal.py:683-758).
+
+    Returns (model, variables, run_cfg, extra, train_filenames,
+    val_filenames).
+    """
+    import jax
+
+    from ..training.checkpoint import load_run_sidecars
+
+    model, run_cfg, extra = initialize_from_run_dir(run_dir)
+    variables = model.init(jax.random.PRNGKey(0), example_batch)
+    variables = restore_run_variables(run_dir, variables, which)
+    _, train_names, val_names = load_run_sidecars(run_dir)
+    return model, variables, run_cfg, extra, sorted(train_names), sorted(val_names)
+
+
+def restore_run_variables(run_dir: str, template: Dict, which: str = "best"):
+    """Restore {params[, batch_stats]} from a run's orbax checkpoints using
+    the epoch recorded in summary.json (best) or the latest (last)."""
+    import orbax.checkpoint as ocp
+
+    sub = "ckpt_best" if which == "best" else "ckpt_last"
+    mgr = ocp.CheckpointManager(os.path.abspath(os.path.join(run_dir, sub)))
+    if which == "best":
+        with open(os.path.join(run_dir, "summary.json")) as f:
+            epoch = json.load(f).get("best_ckpt_epoch")
+        if epoch is None:
+            epoch = mgr.latest_step()
+    else:
+        epoch = mgr.latest_step()
+    # Restore the full saved tree (params + opt_state + step [+ batch_stats])
+    # without a template, then keep the inference-relevant collections.
+    # fallback_sharding makes checkpoints portable across backends (a run
+    # trained on TPU must evaluate on CPU and vice versa — orbax otherwise
+    # pins restores to the devices recorded at save time).
+    import jax
+    from jax.sharding import SingleDeviceSharding
+
+    fallback = SingleDeviceSharding(jax.local_devices()[0])
+    restored = mgr.restore(
+        int(epoch), args=ocp.args.StandardRestore(None, fallback_sharding=fallback)
+    )
+    mgr.close()
+    out = {"params": restored["params"]}
+    if "batch_stats" in template:
+        out["batch_stats"] = restored.get("batch_stats", template["batch_stats"])
+    return out
+
+
+# -- model builders for the entry points -------------------------------------
+
+
+def finetune_model_builder(extra: Dict[str, Any]):
+    """Builder for scripts/finetune_clip.py.
+
+    The pretrained run's config defines the architecture
+    (finetune_clip.py:131-133); its weights are loaded non-strictly; with
+    regression/classification the CLIP is wrapped in an MLP head (ClipMLP,
+    finetune_clip.py:144-155), otherwise contrastive training continues.
+    """
+    from ..training.checkpoint import merge_params_nonstrict
+    from ..training.optim import freeze_encoders_except_projection
+
+    pretrain_dir = extra["pretrain_path"]
+    freeze_backbone = bool(extra.get("freeze_backbone", False))
+    regression = bool(extra.get("regression", False))
+    classification = bool(extra.get("classification", False))
+
+    def builder(run_cfg, _extra, nband):
+        model, pre_cfg, pre_extra = initialize_from_run_dir(
+            pretrain_dir, combinations=extra["combinations"]
+        )
+        pre_params = _load_pretrained_params(pretrain_dir, model)
+
+        if regression or classification:
+            head_cfg = ClipMLPConfig(
+                clip=model.cfg,
+                combinations=tuple(extra["combinations"]),
+                hidden_dim=int(run_cfg.get("hidden_dim", 32)),
+                num_layers=int(run_cfg.get("num_layers", 2)),
+                dropout=float(run_cfg.get("dropout", 0.0)),
+                regression=regression,
+                classification=classification,
+                n_classes=int(extra.get("n_classes", 5)),
+            )
+            head = ClipMLPHead(head_cfg)
+            task = "regression" if regression else "classification"
+
+            def override(params):
+                params = dict(params)
+                params["clip_model"] = merge_params_nonstrict(
+                    params["clip_model"], pre_params
+                )
+                return params
+
+            freeze = None
+            if freeze_backbone:
+                freeze = freeze_encoders_except_projection(
+                    ["lightcurve_encoder", "spectral_encoder"]
+                )
+            return head, task, freeze, override
+
+        def override(params):
+            return merge_params_nonstrict(params, pre_params)
+
+        freeze = None
+        if freeze_backbone:
+            freeze = freeze_encoders_except_projection(
+                ["lightcurve_encoder", "spectral_encoder"]
+            )
+        return model, "contrastive", freeze, override
+
+    return builder
+
+
+def _load_pretrained_params(run_dir: str, model) -> Dict:
+    """Restore a pretrained run's params given its own model structure."""
+    import jax
+
+    from ..data.synthetic import make_synthetic_dataset
+
+    combos = model.cfg.combinations
+    ds = make_synthetic_dataset(
+        n=2, n_max_lc=4, nband=model.cfg.nband, n_max_sp=4,
+        modalities=[m for m in combos if m != "meta"] or ["lightcurve"],
+    )
+    batch = ds.host_batch(np.arange(2))
+    template = model.init(jax.random.PRNGKey(0), batch)
+    return restore_run_variables(run_dir, template)["params"]
+
+
+def masked_model_builder(extra: Dict[str, Any]):
+    """Builder for scripts/pretrain_masked.py: MaskedLightCurveEncoder from
+    the grid's f_mask / emb / heads / transformer_depth keys
+    (configs/config_grid.yaml:62-73)."""
+
+    def builder(run_cfg, _extra, nband):
+        cfg = MaskedEncoderConfig.create(
+            f_mask=float(run_cfg.get("f_mask", 0.15)),
+            nband=nband,
+            transformer_kwargs={
+                "n_out": 1,
+                "emb": int(run_cfg.get("emb", 128)),
+                "heads": int(run_cfg.get("heads", 2)),
+                "depth": int(run_cfg.get("transformer_depth", 4)),
+                "dropout": float(run_cfg.get("dropout", 0.0)),
+                "time_norm": float(run_cfg.get("time_norm", 10000.0)),
+            },
+        )
+        return MaskedLightCurveEncoder(cfg), "masked", None, None
+
+    return builder
+
+
+# -- reference (torch) checkpoint import --------------------------------------
+
+
+def _t(w) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _import_seq_encoder(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference TransformerWithTimeEmbeddings state_dict subtree -> our
+    SequenceEncoder param dict (name mapping documented in
+    models/transformer.py)."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    out: Dict[str, Any] = {
+        "embedding_mag": {"kernel": _t(g("embedding_mag.weight")),
+                          "bias": g("embedding_mag.bias")},
+        "projection": {"kernel": _t(g("projection.weight")),
+                       "bias": g("projection.bias")},
+    }
+    if prefix + "band_emb.weight" in sd:
+        out["band_emb"] = {"embedding": g("band_emb.weight")}
+    blocks = {}
+    i = 0
+    while f"{prefix}transformer.tblocks.{i}.norm1.weight" in sd:
+        b = f"transformer.tblocks.{i}."
+        blocks[f"block_{i}"] = {
+            "attention": {
+                "tokeys": {"kernel": _t(g(b + "attention.tokeys.weight"))},
+                "toqueries": {"kernel": _t(g(b + "attention.toqueries.weight"))},
+                "tovalues": {"kernel": _t(g(b + "attention.tovalues.weight"))},
+                "unifyheads": {"kernel": _t(g(b + "attention.unifyheads.weight")),
+                               "bias": g(b + "attention.unifyheads.bias")},
+            },
+            "norm1": {"scale": g(b + "norm1.weight"), "bias": g(b + "norm1.bias")},
+            "norm2": {"scale": g(b + "norm2.weight"), "bias": g(b + "norm2.bias")},
+            "ff_in": {"kernel": _t(g(b + "ff.0.weight")), "bias": g(b + "ff.0.bias")},
+            "ff_out": {"kernel": _t(g(b + "ff.2.weight")), "bias": g(b + "ff.2.bias")},
+        }
+        i += 1
+    out["transformer"] = blocks
+    if prefix + "query" in sd:
+        e = g("query" if prefix == "" else prefix + "query").shape[0]
+        in_proj_w = g(prefix + "agg_attn.in_proj_weight")
+        in_proj_b = g(prefix + "agg_attn.in_proj_bias")
+        out["query"] = g(prefix + "query")
+        out["agg_attn"] = {
+            "q_proj": {"kernel": _t(in_proj_w[:e]), "bias": in_proj_b[:e]},
+            "k_proj": {"kernel": _t(in_proj_w[e : 2 * e]), "bias": in_proj_b[e : 2 * e]},
+            "v_proj": {"kernel": _t(in_proj_w[2 * e :]), "bias": in_proj_b[2 * e :]},
+            "out_proj": {"kernel": _t(g(prefix + "agg_attn.out_proj.weight")),
+                         "bias": g(prefix + "agg_attn.out_proj.bias")},
+        }
+    return out
+
+
+def import_reference_checkpoint(path: str) -> Dict[str, Any]:
+    """Reference Lightning .ckpt -> partial CLIP params pytree.
+
+    Covers the sequence encoders + projections + logit scale/bias (the
+    checkpoint surface needed to carry Maven/Maven-lite embeddings over).
+    ConvMixer import is not yet mapped (NCHW->NHWC conv kernel layout);
+    meta/MLP heads import directly.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    if "logit_scale" in sd:
+        params["logit_scale"] = np.asarray(sd["logit_scale"])
+        params["logit_bias"] = np.asarray(sd["logit_bias"])
+    for enc, proj in [
+        ("lightcurve_encoder", "lightcurve_projection"),
+        ("spectral_encoder", "spectral_projection"),
+    ]:
+        if f"{enc}.embedding_mag.weight" in sd:
+            params[enc] = _import_seq_encoder(sd, enc + ".")
+            params[proj] = {
+                "kernel": _t(sd[f"{proj}.weight"]),
+                "bias": np.asarray(sd[f"{proj}.bias"]),
+            }
+    # masked pretrainer export (net.* + last_layer.*)
+    if "net.embedding_mag.weight" in sd:
+        params["net"] = _import_seq_encoder(sd, "net.")
+        params["last_layer"] = {
+            "kernel": _t(sd["last_layer.weight"]),
+            "bias": np.asarray(sd["last_layer.bias"]),
+        }
+    return params

@@ -1,0 +1,194 @@
+"""Experiment orchestration: sweep directories, per-run setup, post-fit
+reports.
+
+Rebuild of the reference's W&B-driven L4 layer (wandb_utils.py +
+script_wandb.py/train_sweep). A "sweep" is the same YAML grid; scheduling is
+local (config.expand_grid) instead of a W&B agent, with the same on-disk
+contract the evaluation layer consumes:
+
+  analysis/<sweep_name>/sweep_config.yaml          (wandb_utils.py:28-35)
+  analysis/<sweep_name>/<run_name>/config.yaml     (script_wandb.py:70-72)
+  analysis/<sweep_name>/<run_name>/{train,val}_filenames.txt  (:58-67)
+  analysis/<sweep_name>/<run_name>/ckpt_best/, ckpt_last/, metrics.jsonl
+
+Per run (train_sweep, script_wandb.py:32-271): seed, fold-or-random split,
+model from the flattened config, optional pretrained-backbone graft +
+freeze, fit, then loss-history and retrieval-curve reports for contrastive
+runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import numpy as np
+import yaml
+
+from ..config.config import (
+    SweepConfig,
+    build_clip_config,
+    build_trainer_config,
+    expand_grid,
+)
+from ..data.batching import ArrayDataset
+from ..data.folds import split_for_run
+from ..models.clip import CLIPModel
+from ..utils.seed import set_seed
+from .checkpoint import load_params
+from .optim import (
+    freeze_encoder_except_projection,
+    freeze_encoders_except_projection,
+)
+from .trainer import Trainer
+
+
+def make_sweep_dir(sweep: SweepConfig, analysis_path: str, name: str) -> str:
+    sweep_dir = os.path.join(analysis_path, name)
+    os.makedirs(sweep_dir, exist_ok=True)
+    with open(os.path.join(sweep_dir, "sweep_config.yaml"), "w") as f:
+        yaml.safe_dump(sweep.raw, f)
+    return sweep_dir
+
+
+def task_of(extra: Dict[str, Any]) -> str:
+    if extra.get("regression"):
+        return "regression"
+    if extra.get("classification"):
+        return "classification"
+    return "contrastive"
+
+
+def run_sweep(
+    sweep: SweepConfig,
+    dataset: ArrayDataset,
+    nband: int,
+    folds,
+    sweep_dir: str,
+    model_builder: Optional[Callable] = None,
+    state_initializer: Optional[Callable] = None,
+    mesh=None,
+    use_wandb: bool = False,
+    max_runs: Optional[int] = None,
+    epochs_override: Optional[int] = None,
+):
+    """Train every grid point (the wandb.agent loop, script_wandb.py:339).
+
+    ``model_builder(run_cfg, extra, nband) -> (model, task, freeze,
+    params_override)`` customises model construction (used by the finetune
+    and masked-pretraining entry points); default builds a CLIPModel.
+    Returns the list of per-run result dicts.
+    """
+    extra = sweep.extra_args
+    results = []
+    n_runs = sweep.n_points if max_runs is None else min(max_runs, sweep.n_points)
+
+    for k, run_cfg in enumerate(expand_grid(sweep)):
+        if k >= n_runs:
+            break
+        run_name = f"run-{k}"
+        run_dir = os.path.join(sweep_dir, run_name)
+        rng, _ = set_seed(int(run_cfg.get("seed", 0)))
+
+        inds_train, inds_val = split_for_run(
+            len(dataset),
+            float(extra.get("val_fraction", 0.2)),
+            int(run_cfg.get("seed", 0)),
+            folds=folds,
+            foldnumber=run_cfg.get("foldnumber"),
+        )
+        train_ds = dataset.subset(inds_train)
+        val_ds = dataset.subset(inds_val)
+
+        if model_builder is not None:
+            model, task, freeze, params_override = model_builder(
+                run_cfg, extra, nband
+            )
+        else:
+            model = CLIPModel(build_clip_config(run_cfg, extra, nband))
+            task = task_of(extra)
+            freeze, params_override = _default_pretrain_surgery(
+                run_cfg, extra, model
+            )
+
+        tcfg = build_trainer_config(run_cfg, extra)
+        if epochs_override is not None:
+            tcfg.epochs = epochs_override
+        trainer = Trainer(
+            model,
+            task=task,
+            cfg=tcfg,
+            run_dir=run_dir,
+            mesh=mesh,
+            freeze=freeze,
+            use_wandb=use_wandb,
+            n_classes=int(extra.get("n_classes", 5)),
+        )
+        state = None
+        if params_override is not None:
+            example = train_ds.host_batch(
+                np.arange(min(tcfg.batch_size, len(train_ds)))
+            )
+            state = trainer.init_state(example)
+            state = state.replace(params=params_override(state.params))
+
+        res = trainer.fit(train_ds, val_ds, config_dump=dict(run_cfg), state=state)
+        res["run_dir"] = run_dir
+        res["run_cfg"] = run_cfg
+        results.append(res)
+
+        _post_fit_reports(model, res, train_ds, val_ds, task, run_dir)
+    return results
+
+
+def _default_pretrain_surgery(run_cfg, extra, model):
+    """The reference's pretrained-weight loading paths:
+      * pretrain_lc_path (+ freeze_backbone_lc) — masked-pretrain encoder
+        into the CLIP lightcurve encoder (script_wandb.py:184-185);
+      * pretrain_path (+ freeze_backbone) — full CLIP non-strict load
+        (finetune_clip.py:131-142).
+    Returns (freeze predicate, params_override fn) — either may be None.
+    """
+    from .checkpoint import graft_masked_pretrain_into_clip, merge_params_nonstrict
+
+    freeze = None
+    override = None
+    lc_path = extra.get("pretrain_lc_path")
+    clip_path = extra.get("pretrain_path")
+    if lc_path:
+        if extra.get("freeze_backbone_lc"):
+            freeze = freeze_encoder_except_projection("lightcurve_encoder")
+
+        def override(params, path=lc_path):
+            source = load_params(path, None)
+            return graft_masked_pretrain_into_clip(params, source["params"])
+
+    elif clip_path:
+        if extra.get("freeze_backbone"):
+            freeze = freeze_encoders_except_projection(
+                ["lightcurve_encoder", "spectral_encoder"]
+            )
+
+        def override(params, path=clip_path):
+            source = load_params(path, None)
+            return merge_params_nonstrict(params, source["params"])
+
+    return freeze, override
+
+
+def _post_fit_reports(model, res, train_ds, val_ds, task, run_dir):
+    """Loss history + retrieval curves (script_wandb.py:247-269)."""
+    from ..evaluation.reports import plot_loss_history, plot_retrieval_curves
+
+    hist = res["history"]
+    plot_loss_history(hist["train_loss"], hist["val_loss"], run_dir)
+    if task == "contrastive":
+        from ..evaluation.embeddings import get_embeddings
+
+        state = res["state"]
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        embs_train, names = get_embeddings(model, variables, train_ds)
+        embs_val, _ = get_embeddings(model, variables, val_ds)
+        plot_retrieval_curves(embs_train, embs_val, list(names), run_dir)

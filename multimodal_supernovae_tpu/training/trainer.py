@@ -245,11 +245,15 @@ class Trainer:
             "epochs_run": epoch + 1,
             "wall_time_s": time.time() - t_start,
         }
+        if ckpts:
+            ckpts.wait()
+            result["best_ckpt_epoch"] = ckpts.best_epoch()
         if logger:
             # Run summaries mirroring script_wandb.py:248-253.
             summary = {
                 f"best_{self.monitor}": best["value"],
                 "best_epoch": best["epoch"],
+                "best_ckpt_epoch": result.get("best_ckpt_epoch"),
             }
             if history["val_loss"]:
                 summary["best_val_loss"] = float(np.min(history["val_loss"]))
@@ -259,8 +263,6 @@ class Trainer:
             logger.set_summary(**summary)
             logger.close()
         if ckpts:
-            ckpts.wait()
-            result["best_ckpt_epoch"] = ckpts.best_epoch()
             ckpts.close()
         return result
 

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Train CLIP / supervised heads on real ZTF BTS data.
+
+The rebuild of the reference's ``script_wandb.py`` CLI: one positional
+argument — a sweep-format YAML (or an existing sweep directory under
+``analysis/`` to continue). Loads the dataset once, then trains every grid
+point, writing the reference's run-directory contract (sweep_config.yaml,
+per-run config.yaml + split manifests + checkpoints + metrics).
+
+  python scripts/train.py configs/maven-lite.yaml
+  python scripts/train.py analysis/maven-lite       # continue a sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", help="sweep YAML path or existing sweep dir")
+    ap.add_argument("--analysis-path", default="./analysis")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--spectra-dir", default=None)
+    ap.add_argument("--cache-dir", default="./data_cache")
+    ap.add_argument("--epochs", type=int, default=None, help="override epochs")
+    ap.add_argument("--max-runs", type=int, default=None)
+    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX backend (overrides env/sitecustomize)")
+    args = ap.parse_args()
+
+    from multimodal_supernovae_tpu.utils.platform import select_platform
+
+    select_platform(args.platform)
+
+    from multimodal_supernovae_tpu.config import load_sweep
+    from multimodal_supernovae_tpu.data.cache import load_or_ingest
+    from multimodal_supernovae_tpu.data.folds import stratified_kfolds
+    from multimodal_supernovae_tpu.data.ztfbts import load_ztfbts
+    from multimodal_supernovae_tpu.training.experiment import (
+        make_sweep_dir,
+        run_sweep,
+    )
+    from multimodal_supernovae_tpu.utils.io import get_valid_dir
+
+    if os.path.isdir(args.config):  # continue an existing sweep
+        sweep_dir = args.config
+        sweep = load_sweep(os.path.join(sweep_dir, "sweep_config.yaml"))
+    else:
+        sweep = load_sweep(args.config)
+        name = os.path.splitext(os.path.basename(args.config))[0]
+        sweep_dir = make_sweep_dir(sweep, args.analysis_path, name)
+
+    extra = sweep.extra_args
+    combinations = tuple(extra["combinations"])
+    n_classes = int(extra.get("n_classes", 5))
+
+    if args.data_dir and not os.path.isdir(args.data_dir):
+        ap.error(f"--data-dir {args.data_dir} does not exist")
+    data_dir = args.data_dir or get_valid_dir(
+        ["ZTFBTS/", "data/ZTFBTS/", "../data/ZTFBTS/"]
+    )
+    spectra_dir = args.spectra_dir
+    if spectra_dir is None and "spectral" in combinations:
+        spectra_dir = get_valid_dir(
+            ["ZTFBTS_spectra/", "data/ZTFBTS_spectra/", "../data/ZTFBTS_spectra/"]
+        )
+
+    kfolds = extra.get("kfolds")
+    ingest_config = dict(
+        data_dir=data_dir,
+        spectra_dir=spectra_dir,
+        combinations=combinations,
+        max_data_len_lc=int(extra.get("max_lightcurve_data_len", 100)),
+        max_data_len_spec=int(extra.get("max_spectral_data_len", 1000)),
+        n_classes=n_classes,
+        spectral_rescalefactor=float(extra.get("spectral_rescalefactor", 1e14)),
+    )
+
+    def ingest():
+        ds, nband, _ = load_ztfbts(kfolds=None, **ingest_config)
+        return ds
+
+    dataset, from_cache = load_or_ingest(args.cache_dir, ingest, **ingest_config)
+    print(f"dataset: {len(dataset)} samples (cache={'hit' if from_cache else 'miss'})")
+    nband = 2 if "lightcurve" in combinations else 1
+    folds = stratified_kfolds(dataset.arrays["label"], kfolds) if kfolds else None
+
+    results = run_sweep(
+        sweep, dataset, nband, folds, sweep_dir,
+        use_wandb=args.wandb,
+        max_runs=args.max_runs or extra.get("nruns"),
+        epochs_override=args.epochs,
+    )
+    for r in results:
+        print(
+            f"{r['run_dir']}: best {r['best']} epochs={r['epochs_run']} "
+            f"wall={r['wall_time_s']:.1f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()
