@@ -96,6 +96,29 @@ def merge_kfold_results(results: List[Dict[str, Any]]):
     return pd.DataFrame(merged)
 
 
+def class_dependent_regression_metrics(
+    results: List[Dict[str, Any]], class_names: Dict[int, Any]
+) -> List[Dict[str, Any]]:
+    """Per-class regression metric rows (for radar plots) — the reference's
+    ``get_class_dependent_predictions`` (src/utils.py:1172-1221)."""
+    rows = []
+    for row in results:
+        y_pred = np.asarray(row["y_pred"])
+        y_true = np.asarray(row["y_true"])
+        labels = np.asarray(row["y_true_label"])
+        for label_val, name in class_names.items():
+            sel = labels == label_val
+            if not sel.any():
+                continue
+            m, _ = calculate_metrics(
+                y_true[sel], labels[sel], y_pred[sel],
+                row["Model"], row["Combination"], row["id"], task="regression",
+            )
+            m["class"] = name[0] if isinstance(name, (tuple, list)) else name
+            rows.append(m)
+    return rows
+
+
 def filter_classes_3way(
     embeddings: List[np.ndarray], labels: np.ndarray, extras: Optional[Dict] = None
 ):
