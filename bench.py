@@ -60,6 +60,7 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
     rng = np.random.default_rng(0)
     plan = epoch_indices(len(ds), batch, rng=rng, shuffle=True, pad="drop")
     plan = jnp.asarray(plan[:steps_per_scan])
+    n_steps = plan.shape[0]  # may be < steps_per_scan for small datasets
     key = jax.random.PRNGKey(0)
 
     # compile + warmup. NOTE: sync via a VALUE FETCH, not block_until_ready —
@@ -76,7 +77,7 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
         state2, losses = run_epoch(state2, data, plan, key)
         float(losses.sum())
         times.append(time.perf_counter() - t0)
-    step_time = min(times) / steps_per_scan
+    step_time = min(times) / n_steps
     samples_per_s = batch / step_time
     per_chip = samples_per_s / n_chips
 

@@ -1,0 +1,107 @@
+"""TPU performance sweep: where does the train-step time go, and what do
+bf16 / batch size / modality ablations buy? One process, several jitted
+variants (amortises the tunnel's slow remote compiles).
+
+Usage: python benchmarks/profile_tpu.py [--quick]
+Writes benchmarks/profile_results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def time_scan(run_epoch, state, data, plan, key, scans=3):
+    import jax.numpy as jnp
+
+    state2, losses = run_epoch(state, data, plan, key)  # compile
+    float(losses.sum())  # true barrier (block_until_ready is broken here)
+    times = []
+    for _ in range(scans):
+        t0 = time.perf_counter()
+        state2, losses = run_epoch(state2, data, plan, key)
+        float(losses.sum())
+        times.append(time.perf_counter() - t0)
+    return min(times) / plan.shape[0], float(losses[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_supernovae_tpu.data.batching import epoch_indices
+    from multimodal_supernovae_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
+    from multimodal_supernovae_tpu.training.step import make_epoch_runner
+    from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
+
+    seq_lc = {"n_out": 32, "emb": 64, "heads": 8, "depth": 5,
+              "time_norm": 20583.37, "agg": "attn", "dropout": 0.0}
+    seq_sp = {"n_out": 32, "emb": 32, "heads": 2, "depth": 13,
+              "time_norm": 17945.14, "agg": "mean", "dropout": 0.0}
+
+    ds = make_synthetic_dataset(n=2048, n_max_lc=100, nband=2, n_max_sp=220, seed=0)
+    data = ds.to_device()
+    results = {}
+
+    bi = ("lightcurve", "spectral")
+    variants = [
+        ("dense_b256", dict(use_pallas=False), 256, bi),
+        ("flash_b256", dict(use_pallas=True), 256, bi),
+        ("dense_b1024", dict(use_pallas=False), 1024, bi),
+        ("flash_b1024", dict(use_pallas=True), 1024, bi),
+        ("flash_bf16_b1024", dict(use_pallas=True, compute_dtype="bfloat16"),
+         1024, bi),
+    ]
+    if args.quick:
+        variants = variants[:2]
+
+    rng = np.random.default_rng(0)
+    for name, extra_cfg, batch, combos in variants:
+        cfg = CLIPConfig.create(
+            combinations=combos, enc_dim=32, nband=2, logit_scale_init=19.55,
+            loss="softmax",
+            transformer_kwargs=seq_lc, transformer_spectral_kwargs=seq_sp,
+            **extra_cfg,
+        )
+        model = CLIPModel(cfg)
+        trainer = Trainer(model, task="contrastive",
+                          cfg=TrainerConfig(batch_size=batch, lr=5e-4,
+                                            noise_level_mag=1.0))
+        state = trainer.init_state(data.take(jnp.arange(batch)))
+        run_epoch = make_epoch_runner(model, noise_level_mag=1.0, donate=False)
+        steps = 16
+        plan = jnp.asarray(
+            epoch_indices(len(ds), batch, rng=rng, shuffle=True, pad="drop")[:steps]
+        )
+        t0 = time.perf_counter()
+        step_time, last_loss = time_scan(run_epoch, state, data, plan,
+                                         jax.random.PRNGKey(0))
+        results[name] = {
+            "step_ms": round(step_time * 1e3, 2),
+            "samples_per_s": round(batch / step_time),
+            "compile_s": round(time.perf_counter() - t0, 1),
+            "loss": round(last_loss, 4),
+        }
+        print(name, results[name], flush=True)
+
+    out = os.path.join(os.path.dirname(__file__), "profile_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

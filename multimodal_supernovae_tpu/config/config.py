@@ -117,6 +117,9 @@ def build_clip_config(run_cfg: Dict[str, Any], extra: Dict[str, Any], nband: int
         regression=bool(extra.get("regression", False)),
         classification=bool(extra.get("classification", False)),
         n_classes=int(extra.get("n_classes", 5)),
+        # TPU performance knobs (ours; no reference counterpart)
+        compute_dtype=extra.get("compute_dtype"),
+        use_pallas=extra.get("use_pallas"),
     )
 
 

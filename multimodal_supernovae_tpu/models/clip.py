@@ -75,6 +75,9 @@ class CLIPConfig:
     classification: bool = False
     n_classes: int = 5
     use_pallas: Optional[bool] = None
+    # 'bfloat16' runs encoder matmuls in bf16 on the MXU (params, layernorm
+    # accumulation, final projections and the loss stay f32). None = f32.
+    compute_dtype: Optional[str] = None
 
     @classmethod
     def create(
@@ -105,6 +108,10 @@ class CLIPConfig:
             meta_kwargs=freeze(meta_kwargs, _default_meta_kwargs()),
             **kw,
         )
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     def tk(self) -> Dict[str, Any]:
         return dict(self.transformer_kwargs)
@@ -150,13 +157,13 @@ class CLIPModel(nn.Module):
         if "lightcurve" in combos:
             tk = c.tk()
             self.lightcurve_encoder = SequenceEncoder(
-                nband=c.nband, use_pallas=c.use_pallas, **tk
+                nband=c.nband, use_pallas=c.use_pallas, dtype=c.dtype, **tk
             )
             self.lightcurve_projection = nn.Dense(c.enc_dim)
         if "spectral" in combos:
             tsk = c.tsk()
             self.spectral_encoder = SequenceEncoder(
-                nband=1, use_pallas=c.use_pallas, **tsk
+                nband=1, use_pallas=c.use_pallas, dtype=c.dtype, **tsk
             )
             self.spectral_projection = nn.Dense(c.enc_dim)
         if "host_galaxy" in combos:

@@ -53,6 +53,7 @@ class SelfAttention(nn.Module):
     emb: int
     heads: int = 2
     use_pallas: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -61,9 +62,9 @@ class SelfAttention(nn.Module):
         assert e % self.heads == 0
         s = e // self.heads
 
-        keys = nn.Dense(e, use_bias=False, name="tokeys")(x)
-        queries = nn.Dense(e, use_bias=False, name="toqueries")(x)
-        values = nn.Dense(e, use_bias=False, name="tovalues")(x)
+        keys = nn.Dense(e, use_bias=False, dtype=self.dtype, name="tokeys")(x)
+        queries = nn.Dense(e, use_bias=False, dtype=self.dtype, name="toqueries")(x)
+        values = nn.Dense(e, use_bias=False, dtype=self.dtype, name="tovalues")(x)
 
         def to_heads(a):
             return a.reshape(b, t, self.heads, s).transpose(0, 2, 1, 3)
@@ -77,7 +78,7 @@ class SelfAttention(nn.Module):
             use_pallas=self.use_pallas,
         )  # (B, H, T, S)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, e)
-        return nn.Dense(e, name="unifyheads")(out)
+        return nn.Dense(e, dtype=self.dtype, name="unifyheads")(out)
 
 
 class TransformerBlock(nn.Module):
@@ -90,20 +91,23 @@ class TransformerBlock(nn.Module):
     ff_hidden_mult: int = 4
     dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
         self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
     ) -> jax.Array:
         attended = SelfAttention(
-            self.emb, self.heads, use_pallas=self.use_pallas, name="attention"
+            self.emb, self.heads, use_pallas=self.use_pallas, dtype=self.dtype,
+            name="attention",
         )(x, mask)
-        x = nn.LayerNorm(name="norm1")(attended + x)
+        # LayerNorms accumulate in f32 regardless of compute dtype.
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(attended + x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        h = nn.Dense(self.ff_hidden_mult * self.emb, name="ff_in")(x)
+        h = nn.Dense(self.ff_hidden_mult * self.emb, dtype=self.dtype, name="ff_in")(x)
         h = nn.relu(h)
-        h = nn.Dense(self.emb, name="ff_out")(h)
-        x = nn.LayerNorm(name="norm2")(h + x)
+        h = nn.Dense(self.emb, dtype=self.dtype, name="ff_out")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(h + x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -118,6 +122,7 @@ class Transformer(nn.Module):
     ff_hidden_mult: int = 4
     dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -131,6 +136,7 @@ class Transformer(nn.Module):
                 self.ff_hidden_mult,
                 self.dropout,
                 use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )(x, mask, train)
         return x
@@ -189,6 +195,7 @@ class SequenceEncoder(nn.Module):
     agg: str = "mean"
     time_norm: float = 10000.0
     use_pallas: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -200,7 +207,7 @@ class SequenceEncoder(nn.Module):
     ) -> jax.Array:
         if x.ndim == 2:
             x = x[..., None]  # add the value-channel dim
-        h = nn.Dense(self.emb, name="embedding_mag")(x)
+        h = nn.Dense(self.emb, dtype=self.dtype, name="embedding_mag")(x)
         h = h + time_positional_encoding(t, self.emb, self.time_norm).astype(h.dtype)
 
         if self.nband > 1:
@@ -218,6 +225,7 @@ class SequenceEncoder(nn.Module):
             self.ff_hidden_mult,
             self.dropout,
             use_pallas=self.use_pallas,
+            dtype=self.dtype,
             name="transformer",
         )(h, mask, train)
 
@@ -239,4 +247,6 @@ class SequenceEncoder(nn.Module):
         else:
             raise ValueError(f"unknown agg: {self.agg}")
 
-        return nn.Dense(self.n_out, name="projection")(h)
+        # final projection in f32: the embedding feeds L2 normalisation and
+        # the contrastive logit matrix, which want full precision.
+        return nn.Dense(self.n_out, name="projection")(h.astype(jnp.float32))

@@ -67,17 +67,21 @@ def attention(
 ) -> jax.Array:
     """Dispatching attention entry point.
 
-    ``use_pallas=None`` auto-selects: the Pallas flash kernel is used on TPU
-    for sequences long enough that avoiding the HBM-materialised (T, T)
-    score tensor pays (the spectra encoder at T=1024). Short sequences (light
-    curves, T=200) stay on the fused XLA path.
+    ``use_pallas=None`` auto-selects: on TPU the batched (S, T)-layout
+    Pallas kernel (ops/pallas_attention.py) wins whenever the head dim is a
+    sublane multiple and the sequence is non-trivial — measured on v5e at
+    the reference's shapes it cuts the full train step 2.4x at B=256
+    (57 -> 24 ms) by keeping the score tensors in VMEM
+    (benchmarks/profile_tpu.py). CPU and odd head dims use the fused XLA
+    dense path.
     """
     if use_pallas is None:
         use_pallas = (
-            q.shape[-2] >= 512 and jax.default_backend() == "tpu"
+            q.shape[-2] >= 128 and jax.default_backend() == "tpu"
         )
     if use_pallas:
-        from .pallas_attention import flash_attention
+        from .pallas_attention import flash_attention, supports
 
-        return flash_attention(q, k, v, key_mask, emb)
+        if supports(q.shape[-2], q.shape[-1]):
+            return flash_attention(q, k, v, key_mask, emb)
     return dense_attention(q, k, v, key_mask, emb)

@@ -1,0 +1,190 @@
+"""Pallas TPU fused attention for the sequence encoders.
+
+Why: XLA materialises the (B, H, T, T) score tensor in HBM between the QK^T
+and PV matmuls — at B=1024 that is ~1.3 GB per light-curve layer, and the
+whole train step is score-traffic bound (benchmarks/profile_tpu.py). This
+kernel keeps score tiles entirely in VMEM and writes only (T, S) outputs.
+
+Two lessons from profiling earlier versions on v5e shaped this design:
+
+  1. LAYOUT. The reference's head dims are tiny (8-32). In the natural
+     (T, S) layout the (8, 128) tile grid pads S to 128 lanes — a 16x
+     memory expansion that made v1 LOSE to XLA 3x. The kernel therefore
+     operates on q/k/v TRANSPOSED to (BH, S, T): head_dim on sublanes
+     (8-multiple, tile-exact), sequence on lanes.
+  2. GRID GRANULARITY. One program per (batch, head) pair means tens of
+     thousands of tiny programs per step; dispatch overhead dominated v2.
+     The grid therefore blocks NB head-rows per program and runs BATCHED
+     dot_generals (batch dim NB) inside the kernel, sizing NB to a VMEM
+     budget.
+
+Semantics match ops/attention.py:dense_attention exactly (the reference's
+MHSA math): q and k scaled by emb**-0.25, padded KEY positions set to -1e7
+before the softmax, f32 score accumulation.
+
+Backward is a second kernel (custom_vjp): per q-tile it recomputes the
+probabilities in VMEM and forms dq directly plus dk/dv accumulated across
+q-tiles (TPU grid iteration is sequential, so revisiting the same output
+block is safe: zero-init at the first q-tile, add thereafter).
+
+Sequences of any length are accepted: T pads to a q-tile multiple with
+masked-out keys; padded query rows are sliced away after the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_FILL = -1e7
+DEFAULT_TQ = 256
+_SCORE_VMEM_BUDGET = 4 * 1024 * 1024  # per-buffer f32 score bytes
+
+
+def _batched_dot(a, b, contract_a, contract_b):
+    """dot_general with leading batch dim 0 on both operands."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
+    # blocks: q (NB, S, TQ); k, v (NB, S, T); mask (NB, T)
+    q = q_ref[...].astype(jnp.float32) * scale
+    k = k_ref[...].astype(jnp.float32) * scale
+    scores = _batched_dot(q, k, 1, 1)  # (NB, TQ, T)
+    scores = jnp.where(mask_ref[...][:, None, :], scores, MASK_FILL)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # out^T = v @ P^T -> (NB, S, TQ)
+    out = _batched_dot(v_ref[...].astype(jnp.float32), probs, 2, 2)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float):
+    qi = pl.program_id(1)
+    q = q_ref[...].astype(jnp.float32)  # (NB, S, TQ), UNscaled
+    k = k_ref[...].astype(jnp.float32)  # (NB, S, T)
+    v = v_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)  # (NB, S, TQ): cotangent of out^T
+    c2 = scale * scale
+
+    scores = _batched_dot(q * scale, k * scale, 1, 1)  # (NB, TQ, T)
+    scores = jnp.where(mask_ref[...][:, None, :], scores, MASK_FILL)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    dprobs = _batched_dot(g, v, 1, 1)  # (NB, TQ, T)
+    dscores = probs * (dprobs - jnp.sum(probs * dprobs, axis=-1, keepdims=True))
+
+    # dq^T = k @ dS^T (NB, S, TQ); dk^T = q @ dS (NB, S, T); dv^T = g @ P
+    dq_ref[...] = (_batched_dot(k, dscores, 2, 2) * c2).astype(dq_ref.dtype)
+    dk_tile = _batched_dot(q, dscores, 2, 1) * c2
+    dv_tile = _batched_dot(g, probs, 2, 1)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[...] = dk_tile.astype(dk_ref.dtype)
+        dv_ref[...] = dv_tile.astype(dv_ref.dtype)
+
+    @pl.when(qi != 0)
+    def _():
+        dk_ref[...] += dk_tile.astype(dk_ref.dtype)
+        dv_ref[...] += dv_tile.astype(dv_ref.dtype)
+
+
+def _choose_nb(bh: int, t: int, tq: int) -> int:
+    nb = max(1, _SCORE_VMEM_BUDGET // (4 * tq * t))
+    while bh % nb:
+        nb -= 1
+    return nb
+
+
+def _specs(bh, t, s, tq, nb):
+    grid = (bh // nb, t // tq)
+    qspec = pl.BlockSpec((nb, s, tq), lambda i, qi: (i, 0, qi),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((nb, s, t), lambda i, qi: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((nb, t), lambda i, qi: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return grid, qspec, kvspec, mspec
+
+
+def flash_attention(q, k, v, key_mask, emb: int, tq: int = DEFAULT_TQ):
+    """Fused masked attention. q/k/v: (B, H, T, S); key_mask: (B, T) bool or
+    None; returns (B, H, T, S). ``emb`` drives the reference's e**-0.25
+    scaling (the FULL embedding dim, not S)."""
+    b, h, t, s = q.shape
+    tq = min(tq, -(-t // 128) * 128)
+    t_pad = -(-t // tq) * tq
+    if key_mask is None:
+        key_mask = jnp.ones((b, t), dtype=bool)
+    # (B, H, T, S) -> (B*H, S, T) and broadcast the mask to head-rows
+    def to_st(a):
+        return jnp.swapaxes(a, 2, 3).reshape(b * h, s, t)
+
+    qt, kt, vt = to_st(q), to_st(k), to_st(v)
+    mask = jnp.broadcast_to(key_mask[:, None, :], (b, h, t)).reshape(b * h, t)
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t)]
+        qt, kt, vt = (jnp.pad(a, pad) for a in (qt, kt, vt))
+        mask = jnp.pad(mask, [(0, 0), (0, t_pad - t)])
+    out_t = _flash_attention_st(qt, kt, vt, mask, emb, tq)
+    out = out_t[:, :, :t].reshape(b, h, s, t)
+    return jnp.swapaxes(out, 2, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_st(qt, kt, vt, mask, emb: int, tq: int):
+    return _flash_fwd_impl(qt, kt, vt, mask, emb, tq)
+
+
+def _flash_fwd_impl(qt, kt, vt, mask, emb, tq):
+    bh, s, t = qt.shape
+    scale = float(emb) ** -0.25
+    nb = _choose_nb(bh, t, tq)
+    grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, mspec],
+        out_specs=qspec,
+    )(qt, kt, vt, mask)
+
+
+def _flash_fwd(qt, kt, vt, mask, emb, tq):
+    return _flash_fwd_impl(qt, kt, vt, mask, emb, tq), (qt, kt, vt, mask)
+
+
+def _flash_bwd(emb, tq, residuals, g):
+    qt, kt, vt, mask = residuals
+    bh, s, t = qt.shape
+    scale = float(emb) ** -0.25
+    nb = _choose_nb(bh, t, tq)
+    grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+            jax.ShapeDtypeStruct(kt.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vt.shape, jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, mspec, qspec],
+        out_specs=(qspec, kvspec, kvspec),
+    )(qt, kt, vt, mask, g)
+    return dq, dk.astype(kt.dtype), dv.astype(vt.dtype), None
+
+
+_flash_attention_st.defvjp(_flash_fwd, _flash_bwd)
+
+
+def supports(t: int, s: int = 8) -> bool:
+    """Head dim must be a sublane multiple; any sequence length works."""
+    return s % 8 == 0

@@ -119,6 +119,15 @@ class CheckpointManager:
         self.wait()
         return self._best.best_step()
 
+    def try_restore_last(self, state):
+        """Resume support: restore the latest ckpt_last into ``state``.
+        Returns (state, epoch) or None when no checkpoint exists yet."""
+        self.wait()
+        epoch = self._last.latest_step()
+        if epoch is None:
+            return None
+        return self.restore(state, epoch=epoch, which="last"), int(epoch)
+
     def restore(self, state, epoch: Optional[int] = None, which: str = "best"):
         """Restore into the (template) TrainState; epoch None = best/latest."""
         self.wait()

@@ -71,6 +71,7 @@ def run_sweep(
     use_wandb: bool = False,
     max_runs: Optional[int] = None,
     epochs_override: Optional[int] = None,
+    resume: bool = False,
 ):
     """Train every grid point (the wandb.agent loop, script_wandb.py:339).
 
@@ -132,7 +133,9 @@ def run_sweep(
             state = trainer.init_state(example)
             state = state.replace(params=params_override(state.params))
 
-        res = trainer.fit(train_ds, val_ds, config_dump=dict(run_cfg), state=state)
+        res = trainer.fit(
+            train_ds, val_ds, config_dump=dict(run_cfg), state=state, resume=resume
+        )
         res["run_dir"] = run_dir
         res["run_cfg"] = run_cfg
         results.append(res)

@@ -142,7 +142,11 @@ class Trainer:
         val_ds: ArrayDataset,
         config_dump: Optional[Dict[str, Any]] = None,
         state: Optional[TrainState] = None,
+        resume: bool = False,
     ) -> Dict[str, Any]:
+        """Train. ``resume=True`` restores the latest ckpt_last state in
+        ``run_dir`` (params, optimizer state, epoch counter) and continues —
+        the recovery path the reference leaves manual (SURVEY.md §5.3)."""
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
         root_key = jax.random.PRNGKey(cfg.seed + 1)
@@ -166,6 +170,17 @@ class Trainer:
         example = train_data.take(jnp.arange(cfg.batch_size) % len(train_ds))
         if state is None:
             state = self.init_state(example)
+        start_epoch = 0
+        if resume and ckpts is not None:
+            restored = ckpts.try_restore_last(state)
+            if restored is not None:
+                state, start_epoch = restored
+                start_epoch += 1
+                # advance the host RNGs past the completed epochs so the
+                # resumed run sees fresh shuffles/augmentation keys
+                for _ in range(start_epoch):
+                    rng.permutation(len(train_ds))
+                    root_key, _, _ = jax.random.split(root_key, 3)
 
         run_epoch = make_epoch_runner(
             self.model,
@@ -190,7 +205,8 @@ class Trainer:
         t_start = time.time()
         samples_per_epoch = None
 
-        for epoch in range(cfg.epochs):
+        epoch = start_epoch - 1  # when already complete, no epochs run
+        for epoch in range(start_epoch, cfg.epochs):
             plan = epoch_indices(
                 len(train_ds), cfg.batch_size, rng=rng, shuffle=True, pad="wrap"
             )

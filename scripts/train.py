@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=None, help="override epochs")
     ap.add_argument("--max-runs", type=int, default=None)
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore each run's ckpt_last and continue training")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture an XLA profiler trace of training here")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (overrides env/sitecustomize)")
     args = ap.parse_args()
@@ -91,12 +95,23 @@ def main():
     nband = 2 if "lightcurve" in combinations else 1
     folds = stratified_kfolds(dataset.arrays["label"], kfolds) if kfolds else None
 
-    results = run_sweep(
-        sweep, dataset, nband, folds, sweep_dir,
-        use_wandb=args.wandb,
-        max_runs=args.max_runs or extra.get("nruns"),
-        epochs_override=args.epochs,
-    )
+    import contextlib
+
+    if args.profile_dir:
+        from multimodal_supernovae_tpu.utils.profiling import xprof_trace
+
+        profile_ctx = xprof_trace(args.profile_dir)
+    else:
+        profile_ctx = contextlib.nullcontext()
+
+    with profile_ctx:
+        results = run_sweep(
+            sweep, dataset, nband, folds, sweep_dir,
+            use_wandb=args.wandb,
+            max_runs=args.max_runs or extra.get("nruns"),
+            epochs_override=args.epochs,
+            resume=args.resume,
+        )
     for r in results:
         print(
             f"{r['run_dir']}: best {r['best']} epochs={r['epochs_run']} "

@@ -1,0 +1,99 @@
+"""Pallas flash-attention kernel vs the dense XLA path (interpret mode on
+CPU; the same kernel compiles for real on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_supernovae_tpu.ops.attention import dense_attention
+from multimodal_supernovae_tpu.ops.pallas_attention import (
+    flash_attention,
+    supports,
+)
+
+
+def _inputs(rng, b=2, h=2, t=256, s=16, full_mask=False):
+    q = rng.normal(size=(b, h, t, s)).astype(np.float32)
+    k = rng.normal(size=(b, h, t, s)).astype(np.float32)
+    v = rng.normal(size=(b, h, t, s)).astype(np.float32)
+    if full_mask:
+        mask = np.ones((b, t), dtype=bool)
+    else:
+        mask = rng.random((b, t)) > 0.3
+        mask[:, 0] = True
+    return map(jnp.asarray, (q, k, v, mask))
+
+
+def test_supports():
+    assert supports(1024, 8) and supports(256, 16) and supports(220, 32)
+    assert not supports(256, 4)  # head dim below a sublane
+
+
+@pytest.mark.parametrize("full_mask", [True, False])
+@pytest.mark.parametrize("t", [256, 200])  # tile multiple and padded case
+def test_forward_matches_dense(rng, full_mask, t):
+    q, k, v, mask = _inputs(rng, t=t, full_mask=full_mask)
+    emb = q.shape[1] * q.shape[3]
+    want = dense_attention(q, k, v, mask, emb)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, mask, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_backward_padded_t(rng):
+    q, k, v, mask = _inputs(rng, b=1, h=2, t=200, s=8)
+    emb = q.shape[1] * q.shape[3]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, emb) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, mask, emb) ** 2)
+
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_backward_matches_dense(rng):
+    q, k, v, mask = _inputs(rng, b=1, h=2, t=128, s=8)
+    emb = q.shape[1] * q.shape[3]
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, mask, emb) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, emb) ** 2)
+
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_encoder_with_pallas_flag(rng):
+    """SequenceEncoder(use_pallas=True) runs the kernel (interpret mode)."""
+    from multimodal_supernovae_tpu.models import SequenceEncoder
+
+    x = jnp.asarray(rng.normal(size=(2, 256)).astype(np.float32))
+    t = jnp.asarray((rng.random((2, 256)) * 100).astype(np.float32))
+    mask = jnp.asarray(rng.random((2, 256)) > 0.2)
+    enc_d = SequenceEncoder(n_out=4, emb=16, heads=2, depth=1, use_pallas=False)
+    enc_p = SequenceEncoder(n_out=4, emb=16, heads=2, depth=1, use_pallas=True)
+    params = enc_d.init(jax.random.PRNGKey(0), x, t, mask)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = enc_p.apply(params, x, t, mask)
+    out_d = enc_d.apply(params, x, t, mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-4)

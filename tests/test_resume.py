@@ -1,0 +1,66 @@
+"""Checkpoint/resume: a run interrupted after k epochs continues from its
+ckpt_last with optimizer state and epoch counter intact."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_supernovae_tpu.data.synthetic import make_synthetic_dataset
+from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
+from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
+
+SEQ = {"n_out": 8, "emb": 8, "heads": 2, "depth": 1, "time_norm": 1000.0,
+       "agg": "mean", "dropout": 0.0}
+
+
+def make_trainer(run_dir, epochs):
+    cfg = CLIPConfig.create(
+        combinations=("lightcurve", "spectral"), enc_dim=8, nband=2,
+        loss="softmax",
+        transformer_kwargs=SEQ, transformer_spectral_kwargs=SEQ,
+        use_pallas=False,
+    )
+    return Trainer(
+        CLIPModel(cfg), task="contrastive",
+        cfg=TrainerConfig(epochs=epochs, batch_size=8, lr=3e-3, seed=0),
+        run_dir=run_dir,
+    )
+
+
+def test_resume_continues_training(tmp_path):
+    ds = make_synthetic_dataset(n=32, n_max_lc=8, n_max_sp=8, seed=0)
+    train, val = ds.subset(np.arange(24)), ds.subset(np.arange(24, 32))
+    run_dir = str(tmp_path / "run")
+
+    # phase 1: 3 epochs
+    res1 = make_trainer(run_dir, epochs=3).fit(train, val)
+    assert res1["epochs_run"] == 3
+    params_after_3 = res1["state"].params
+
+    # phase 2: resume, extend to 5 epochs -> exactly 2 more run
+    res2 = make_trainer(run_dir, epochs=5).fit(train, val, resume=True)
+    rows = res2["metric_rows"]
+    assert [r["epoch"] for r in rows] == [3, 4]
+    # resumed from trained state, not a fresh init: params moved on from
+    # phase 1's values but first resumed loss is near phase 1's last loss
+    assert abs(rows[0]["train_loss"] - res1["metric_rows"][-1]["train_loss"]) < 0.5
+    k1 = np.asarray(params_after_3["lightcurve_encoder"]["embedding_mag"]["kernel"])
+    k2 = np.asarray(
+        res2["state"].params["lightcurve_encoder"]["embedding_mag"]["kernel"]
+    )
+    assert not np.allclose(k1, k2)  # training continued
+
+    # resume with nothing new to do: no epochs run
+    res3 = make_trainer(run_dir, epochs=5).fit(train, val, resume=True)
+    assert res3["metric_rows"] == []
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path):
+    ds = make_synthetic_dataset(n=16, n_max_lc=8, n_max_sp=8, seed=1)
+    train, val = ds.subset(np.arange(12)), ds.subset(np.arange(12, 16))
+    res = make_trainer(str(tmp_path / "fresh"), epochs=2).fit(
+        train, val, resume=True
+    )
+    assert res["epochs_run"] == 2
