@@ -106,7 +106,10 @@ def build_clip_config(run_cfg: Dict[str, Any], extra: Dict[str, Any], nband: int
     }
     return CLIPConfig.create(
         combinations=tuple(extra["combinations"]),
-        enc_dim=g("enc_dim", 128) if "enc_dim" in run_cfg else run_cfg["n_out"],
+        # The reference never passes enc_dim to LightCurveImageCLIP, so its
+        # shared embedding space is ALWAYS the constructor default 128
+        # (models_multimodal.py:101, :656-670) regardless of n_out.
+        enc_dim=int(g("enc_dim", extra.get("enc_dim", 128))),
         logit_scale_init=g("logit_scale", 10.0),
         nband=nband,
         transformer_kwargs=transformer_kwargs,

@@ -296,6 +296,16 @@ def import_reference_checkpoint(path: str) -> Dict[str, Any]:
                 "kernel": _t(sd[f"{proj}.weight"]),
                 "bias": np.asarray(sd[f"{proj}.bias"]),
             }
+    # meta encoder: class embedding + MLP (models_multimodal.py:190-193)
+    if "class_emb.weight" in sd:
+        params["class_emb"] = {"embedding": np.asarray(sd["class_emb.weight"])}
+        params["meta_encoder"] = _import_mlp(sd, "meta_encoder.")
+    # supervised head (regression/classification Linear)
+    if "linear.weight" in sd:
+        params["linear"] = {
+            "kernel": _t(sd["linear.weight"]),
+            "bias": np.asarray(sd["linear.bias"]),
+        }
     # masked pretrainer export (net.* + last_layer.*)
     if "net.embedding_mag.weight" in sd:
         params["net"] = _import_seq_encoder(sd, "net.")
@@ -304,3 +314,22 @@ def import_reference_checkpoint(path: str) -> Dict[str, Any]:
             "bias": np.asarray(sd["last_layer.bias"]),
         }
     return params
+
+
+def _import_mlp(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference MLP (Linear-ReLU-Dropout stack in a flat ModuleList,
+    models_multimodal.py:843-851) -> our MLP param dict. Linear layers sit
+    at indices 0, 3, 6, ... with the output head last."""
+    idxs = sorted(
+        int(k[len(prefix) + len("layers.") : -len(".weight")])
+        for k in sd
+        if k.startswith(prefix + "layers.") and k.endswith(".weight")
+    )
+    out: Dict[str, Any] = {}
+    for n, i in enumerate(idxs):
+        name = "out" if i == idxs[-1] else f"hidden_{n}"
+        out[name] = {
+            "kernel": _t(sd[f"{prefix}layers.{i}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}layers.{i}.bias"]),
+        }
+    return out
