@@ -60,6 +60,9 @@ def main():
     variants = [
         ("dense_b256", dict(use_pallas=False), 256, bi),
         ("flash_b256", dict(use_pallas=True), 256, bi),
+        ("flash_b512", dict(use_pallas=True), 512, bi),
+        ("flash_bf16_b256", dict(use_pallas=True, compute_dtype="bfloat16"),
+         256, bi),
         ("dense_b1024", dict(use_pallas=False), 1024, bi),
         ("flash_b1024", dict(use_pallas=True), 1024, bi),
         ("flash_bf16_b1024", dict(use_pallas=True, compute_dtype="bfloat16"),

@@ -42,8 +42,14 @@ CLASS_NAMES_3 = {
 
 def evaluate_run(run_dir, label, run_id, dataset, out):
     """Probe one run: embeddings from its exact val split, Linear/KNN probes
-    on single + paired modality embeddings, both 5-way and 3-way."""
-    from multimodal_supernovae_tpu.evaluation.embeddings import get_embeddings
+    on single + paired modality embeddings, both 5-way and 3-way. Supervised
+    (regression/classification) runs are scored on their own head
+    predictions instead (the reference's process_data_loader path,
+    utils.py:608-691, evaluate_models.py:211-267)."""
+    from multimodal_supernovae_tpu.evaluation.embeddings import (
+        get_embeddings,
+        predict_supervised,
+    )
     from multimodal_supernovae_tpu.evaluation.metrics import (
         calculate_metrics,
         filter_classes_3way,
@@ -60,6 +66,25 @@ def evaluate_run(run_dir, label, run_id, dataset, out):
     assert is_subset(val_names, dataset.filenames), "val split not in dataset"
     train_ds = dataset.subset_by_filenames(train_names)
     val_ds = dataset.subset_by_filenames(val_names)
+
+    if model.cfg.supervised:
+        preds = predict_supervised(model, variables, val_ds)
+        combo = " ".join(model.cfg.combinations)
+        if model.cfg.regression:
+            m, r = calculate_metrics(
+                val_ds.arrays["redshift"], val_ds.arrays["label"], preds[:, 0],
+                label, combo, run_id, task="regression",
+            )
+            out["regression"].append(m)
+            out["regression_results"].append(r)
+        else:
+            m, r = calculate_metrics(
+                None, val_ds.arrays["label"], preds.argmax(axis=-1),
+                label, combo, run_id, task="classification",
+            )
+            out["classification"].append(m)
+            out["classification_results"].append(r)
+        return
 
     embs_train, names = get_embeddings(model, variables, train_ds)
     embs_val, _ = get_embeddings(model, variables, val_ds)

@@ -140,6 +140,33 @@ def test_masked_builder(tmp_path):
     assert np.isfinite(h[-1])
 
 
+def test_evaluate_supervised_run(tmp_path):
+    """evaluate_run scores supervised runs on their own head predictions."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    evaluate = importlib.import_module("evaluate")
+
+    sweep = load_sweep(SMOKE)
+    sweep.extra_args = dict(sweep.extra_args, regression=True,
+                            combinations=["lightcurve"])
+    sweep.raw["extra_args"] = sweep.extra_args  # persists to sweep_config.yaml
+    ds = make_synthetic_dataset(n=32, n_max_lc=8, seed=7,
+                                modalities=("lightcurve",))
+    sdir = make_sweep_dir(sweep, str(tmp_path), "reg")
+    results = run_sweep(sweep, ds, nband=2, folds=None, sweep_dir=sdir,
+                        epochs_override=2)
+    out = {"regression": [], "classification": [],
+           "regression_results": [], "classification_results": []}
+    evaluate.evaluate_run(results[0]["run_dir"], "lc-reg", 0, ds, out)
+    assert len(out["regression"]) == 1
+    assert out["regression"][0]["Model"] == "lc-reg"
+    assert np.isfinite(out["regression"][0]["R2"])
+    assert out["classification"] == []
+
+
 def test_evaluate_run_probes(sweep_results, tmp_path):
     """The evaluate driver's probe core over a finished run."""
     import sys
