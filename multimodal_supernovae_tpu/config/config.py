@@ -60,8 +60,22 @@ def load_sweep(path: str) -> SweepConfig:
 
 
 def expand_grid(sweep: SweepConfig) -> Iterator[Dict[str, Any]]:
-    """Yield flattened per-run configs (cartesian product in key order)."""
+    """Yield flattened per-run configs.
+
+    ``method: grid`` (default) walks the cartesian product in key order;
+    ``method: random`` samples uniformly from each parameter's value list
+    (the W&B 'random' strategy; cap with extra_args.nruns / max_runs).
+    """
     keys = list(sweep.parameters)
+    if sweep.method == "random":
+        import numpy as np
+
+        rng = np.random.default_rng(int(sweep.extra_args.get("sweep_seed", 0)))
+        n = int(sweep.extra_args.get("nruns", 32))
+        for _ in range(n):
+            yield {k: sweep.parameters[k][rng.integers(len(sweep.parameters[k]))]
+                   for k in keys}
+        return
     for combo in itertools.product(*(sweep.parameters[k] for k in keys)):
         yield dict(zip(keys, combo))
 

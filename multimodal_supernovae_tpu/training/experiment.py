@@ -82,7 +82,10 @@ def run_sweep(
     """
     extra = sweep.extra_args
     results = []
-    n_runs = sweep.n_points if max_runs is None else min(max_runs, sweep.n_points)
+    if sweep.method == "random":
+        n_runs = max_runs or int(extra.get("nruns", 32))
+    else:
+        n_runs = sweep.n_points if max_runs is None else min(max_runs, sweep.n_points)
 
     for k, run_cfg in enumerate(expand_grid(sweep)):
         if k >= n_runs:

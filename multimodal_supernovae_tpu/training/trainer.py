@@ -215,6 +215,16 @@ class Trainer:
             t0 = time.time()
             state, losses = run_epoch(state, train_data, self._plan_to_device(plan), ekey)
             train_loss = float(jnp.mean(losses))
+            if not np.isfinite(train_loss):
+                # failure detection: surface divergence instead of burning
+                # the remaining epochs (the reference would train on)
+                if logger:
+                    logger.log({"epoch": epoch, "train_loss": train_loss,
+                                "aborted": "non-finite loss"}, step=epoch)
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch}; last finite "
+                    f"epoch metrics: {metric_rows[-1] if metric_rows else None}"
+                )
             step_time = (time.time() - t0) / plan.shape[0]
             history["train_loss"].append(train_loss)
 

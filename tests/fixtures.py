@@ -14,6 +14,33 @@ SN_TYPES = ["SN Ia", "SN II", "SN Ib", "SN Ic", "SN IIP", "SLSN-I", "SN IIn",
             "SN Ib/c"]
 
 
+def write_mini_sim_hdf5(path: str, n_per_type: int = 8, seed: int = 0,
+                        lc_len: int = 40, sp_len: int = 30):
+    """Mini HDF5 in the reference's Photometry/Spectroscopy schema
+    (SimulationDataset, src/dataloader.py:1037-1229)."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        for i, t_type in enumerate(["Ia", "II"]):
+            gp = f.create_group(f"Photometry/{t_type}/model0")
+            n = n_per_type
+            gp["TID"] = np.arange(n) + 100 * i
+            gp["z"] = rng.random(n).astype(np.float64) * 0.2
+            gp["mjd"] = np.sort(rng.random((n, lc_len)) * 100, axis=1)
+            gp["filter"] = rng.choice([1, 2], size=(n, lc_len))
+            base = 22 + rng.normal(size=(n, lc_len))
+            gp["mag_obs"] = base + 0.1 * rng.normal(size=(n, lc_len))
+            gp["mag_perfect"] = base
+            gs = f.create_group(f"Spectroscopy/{t_type}/model0")
+            gs["TID"] = gp["TID"][...]
+            gs["wavelength"] = np.tile(np.linspace(3000, 9000, sp_len), (n, 1))
+            flux = 1 + 0.3 * rng.random((n, sp_len))
+            gs["flux_obs"] = flux + 0.02 * rng.normal(size=(n, sp_len))
+            gs["flux_perfect"] = flux
+    return path
+
+
 def write_mini_ztfbts(root: str, n: int = 12, seed: int = 0,
                       with_images: bool = True, with_spectra: bool = True,
                       image_size: int = 20):

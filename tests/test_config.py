@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+from multimodal_supernovae_tpu.config import (
+    SweepConfig,
+    build_clip_config,
+    expand_grid,
+)
+
+
+def test_grid_expansion_order():
+    sweep = SweepConfig(parameters={"a": [1, 2], "b": ["x"]}, extra_args={})
+    points = list(expand_grid(sweep))
+    assert points == [{"a": 1, "b": "x"}, {"a": 2, "b": "x"}]
+    assert sweep.n_points == 2
+
+
+def test_random_expansion():
+    sweep = SweepConfig(
+        parameters={"a": [1, 2, 3], "b": [10, 20]},
+        extra_args={"nruns": 7, "sweep_seed": 1},
+        method="random",
+    )
+    points = list(expand_grid(sweep))
+    assert len(points) == 7
+    for p in points:
+        assert p["a"] in (1, 2, 3) and p["b"] in (10, 20)
+    # deterministic under the seed
+    assert points == list(expand_grid(sweep))
+
+
+def test_build_clip_config_spectral_fallbacks():
+    run_cfg = {"n_out": 16, "emb": 32, "heads": 4, "transformer_depth": 3,
+               "dropout": 0.1, "time_norm": 500.0, "agg": "max"}
+    cfg = build_clip_config(run_cfg, {"combinations": ["lightcurve", "spectral"]})
+    tsk = dict(cfg.transformer_spectral_kwargs)
+    # spectral falls back to the lightcurve hyperparameters
+    assert tsk["emb"] == 32 and tsk["heads"] == 4 and tsk["depth"] == 3
+    assert cfg.enc_dim == 128  # the reference's constructor default
+    assert cfg.combinations == ("lightcurve", "spectral")
+
+
+def test_nan_failure_detection():
+    from multimodal_supernovae_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
+    from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
+
+    seq = {"n_out": 8, "emb": 8, "heads": 2, "depth": 1, "time_norm": 1000.0,
+           "agg": "mean", "dropout": 0.0}
+    cfg = CLIPConfig.create(
+        combinations=("lightcurve", "spectral"), enc_dim=8, nband=2,
+        loss="softmax", transformer_kwargs=seq,
+        transformer_spectral_kwargs=seq, use_pallas=False,
+    )
+    ds = make_synthetic_dataset(n=16, n_max_lc=8, n_max_sp=8, seed=0)
+    arrays = dict(ds.arrays)
+    arrays["x_lc"] = arrays["x_lc"].copy()
+    arrays["x_lc"][0, 0] = np.nan  # poisoned sample -> NaN loss
+    from multimodal_supernovae_tpu.data.batching import ArrayDataset
+
+    bad = ArrayDataset(arrays, ds.filenames)
+    trainer = Trainer(
+        CLIPModel(cfg), task="contrastive",
+        cfg=TrainerConfig(epochs=3, batch_size=16, lr=1e-3, seed=0),
+        run_dir=None,
+    )
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        trainer.fit(bad.subset(np.arange(12)), bad.subset(np.arange(12, 16)))
