@@ -53,45 +53,71 @@ def main():
               "time_norm": 17945.14, "agg": "mean", "dropout": 0.0}
 
     ds = make_synthetic_dataset(n=2048, n_max_lc=100, nband=2, n_max_sp=220, seed=0)
+    ds_tri = make_synthetic_dataset(
+        n=512, n_max_lc=100, nband=2, n_max_sp=220, image_size=60, seed=0,
+        modalities=("host_galaxy", "lightcurve", "spectral"),
+    )
     data = ds.to_device()
+    data_tri = ds_tri.to_device()
     results = {}
 
     bi = ("lightcurve", "spectral")
+    tri = ("host_galaxy", "lightcurve", "spectral")
     variants = [
-        ("dense_b256", dict(use_pallas=False), 256, bi),
-        ("flash_b256", dict(use_pallas=True), 256, bi),
-        ("flash_b512", dict(use_pallas=True), 512, bi),
-        ("flash_bf16_b256", dict(use_pallas=True, compute_dtype="bfloat16"),
-         256, bi),
-        ("dense_b1024", dict(use_pallas=False), 1024, bi),
-        ("flash_b1024", dict(use_pallas=True), 1024, bi),
-        ("flash_bf16_b1024", dict(use_pallas=True, compute_dtype="bfloat16"),
-         1024, bi),
+        ("flash_b256_budget1M", dict(use_pallas=True), 256, bi),
+        ("flash_b256_fwdonly", dict(use_pallas=True), 256, bi),
+        ("flash_trimodal_b256", dict(use_pallas=True), 256, tri),
     ]
     if args.quick:
         variants = variants[:2]
 
     rng = np.random.default_rng(0)
     for name, extra_cfg, batch, combos in variants:
+        if "budget8M" in name:
+            os.environ["MMSN_FLASH_VMEM_BUDGET"] = str(8 * 1024 * 1024)
+        elif "budget1M" in name:
+            os.environ["MMSN_FLASH_VMEM_BUDGET"] = str(1 * 1024 * 1024)
+        else:
+            os.environ.pop("MMSN_FLASH_VMEM_BUDGET", None)
+        conv = {"dim": 32, "depth": 8, "kernel_size": 5, "patch_size": 10,
+                "n_out": 32, "dropout_prob": 0.0}
         cfg = CLIPConfig.create(
             combinations=combos, enc_dim=32, nband=2, logit_scale_init=19.55,
             loss="softmax",
             transformer_kwargs=seq_lc, transformer_spectral_kwargs=seq_sp,
+            conv_kwargs=conv,
             **extra_cfg,
         )
         model = CLIPModel(cfg)
+        d = data_tri if "host_galaxy" in combos else data
+        n_rows = len(ds_tri) if "host_galaxy" in combos else len(ds)
         trainer = Trainer(model, task="contrastive",
                           cfg=TrainerConfig(batch_size=batch, lr=5e-4,
                                             noise_level_mag=1.0))
-        state = trainer.init_state(data.take(jnp.arange(batch)))
-        run_epoch = make_epoch_runner(model, noise_level_mag=1.0, donate=False)
+        state = trainer.init_state(d.take(jnp.arange(batch)))
+        if "fwdonly" in name:
+            from multimodal_supernovae_tpu.training.step import make_eval_runner
+
+            eval_run = make_eval_runner(model)
+
+            def run_epoch(state, data, plan, key, _er=eval_run, _st=state):
+                losses, _ = _er(_st, data, plan, key)
+                return _st, losses
+        else:
+            run_epoch = make_epoch_runner(model, noise_level_img=1.0,
+                                          noise_level_mag=1.0, donate=False)
         steps = 16
         plan = jnp.asarray(
-            epoch_indices(len(ds), batch, rng=rng, shuffle=True, pad="drop")[:steps]
+            epoch_indices(n_rows, batch, rng=rng, shuffle=True, pad="drop")[:steps]
         )
         t0 = time.perf_counter()
-        step_time, last_loss = time_scan(run_epoch, state, data, plan,
-                                         jax.random.PRNGKey(0))
+        try:
+            step_time, last_loss = time_scan(run_epoch, state, d, plan,
+                                             jax.random.PRNGKey(0))
+        except Exception as e:
+            results[name] = {"error": str(e)[:200]}
+            print(name, results[name], flush=True)
+            continue
         results[name] = {
             "step_ms": round(step_time * 1e3, 2),
             "samples_per_s": round(batch / step_time),

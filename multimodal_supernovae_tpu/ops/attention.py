@@ -82,6 +82,6 @@ def attention(
     if use_pallas:
         from .pallas_attention import flash_attention, supports
 
-        if supports(q.shape[-2], q.shape[-1]):
+        if supports(q.shape[-2], q.shape[-1], q.shape[0] * q.shape[1]):
             return flash_attention(q, k, v, key_mask, emb)
     return dense_attention(q, k, v, key_mask, emb)

@@ -40,9 +40,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 MASK_FILL = -1e7
 DEFAULT_TQ = 256
-_SCORE_VMEM_BUDGET = 4 * 1024 * 1024  # per-buffer f32 score bytes
+# Per-buffer f32 score bytes driving rows-per-program; tunable for sweeps.
+_SCORE_VMEM_BUDGET = int(
+    os.environ.get("MMSN_FLASH_VMEM_BUDGET", 4 * 1024 * 1024)
+)
 
 
 def _batched_dot(a, b, contract_a, contract_b):
@@ -98,9 +103,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
 
 
 def _choose_nb(bh: int, t: int, tq: int) -> int:
-    nb = max(1, _SCORE_VMEM_BUDGET // (4 * tq * t))
-    while bh % nb:
-        nb -= 1
+    """Rows per program: within the VMEM score budget, a multiple of 8 (the
+    mask block's sublane divisibility requirement), dividing bh."""
+    budget = int(os.environ.get("MMSN_FLASH_VMEM_BUDGET", _SCORE_VMEM_BUDGET))
+    nb = max(8, budget // (4 * tq * t) // 8 * 8)
+    nb = min(nb, bh)
+    while nb > 8 and bh % nb:
+        nb -= 8
     return nb
 
 
@@ -185,6 +194,7 @@ def _flash_bwd(emb, tq, residuals, g):
 _flash_attention_st.defvjp(_flash_fwd, _flash_bwd)
 
 
-def supports(t: int, s: int = 8) -> bool:
-    """Head dim must be a sublane multiple; any sequence length works."""
-    return s % 8 == 0
+def supports(t: int, s: int = 8, bh: int = 8) -> bool:
+    """Head dim and batch*heads must be sublane multiples; any sequence
+    length works."""
+    return s % 8 == 0 and bh % 8 == 0

@@ -39,8 +39,8 @@ def run(mesh, ds, epochs=3):
 
 def test_dp_matches_single_device():
     ds = make_synthetic_dataset(n=64, n_max_lc=8, n_max_sp=8, seed=0)
-    res_single = run(None, ds)
-    res_dp = run(make_mesh(8, 1), ds)
+    res_single = run(None, ds, epochs=2)
+    res_dp = run(make_mesh(8, 1), ds, epochs=2)
     np.testing.assert_allclose(
         res_single["history"]["train_loss"],
         res_dp["history"]["train_loss"],
@@ -61,8 +61,8 @@ def test_dp_matches_single_device():
 def test_dp_tp_matches_single_device():
     """Adding tensor parallelism over the model axis must also be exact."""
     ds = make_synthetic_dataset(n=64, n_max_lc=8, n_max_sp=8, seed=1)
-    res_single = run(None, ds, epochs=2)
-    res_tp = run(make_mesh(4, 2), ds, epochs=2)
+    res_single = run(None, ds, epochs=1)
+    res_tp = run(make_mesh(4, 2), ds, epochs=1)
     np.testing.assert_allclose(
         res_single["history"]["train_loss"],
         res_tp["history"]["train_loss"],

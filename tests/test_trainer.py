@@ -45,7 +45,7 @@ def test_contrastive_fit_decreases_loss(tmp_path):
     trainer = Trainer(
         clip_model(loss="softmax", logit_scale_init=10.0),
         task="contrastive",
-        cfg=TrainerConfig(epochs=8, batch_size=8, lr=3e-3, seed=0,
+        cfg=TrainerConfig(epochs=5, batch_size=8, lr=3e-3, seed=0,
                           noise_level_mag=1.0),
         run_dir=str(tmp_path / "run"),
     )
@@ -72,7 +72,7 @@ def test_regression_fit(tmp_path):
     trainer = Trainer(
         clip_model(combinations=("lightcurve",), regression=True),
         task="regression",
-        cfg=TrainerConfig(epochs=5, batch_size=8, lr=3e-3, seed=0),
+        cfg=TrainerConfig(epochs=4, batch_size=8, lr=3e-3, seed=0),
         run_dir=None,
     )
     res = trainer.fit(train, val)
@@ -108,7 +108,7 @@ def test_masked_pretraining_fit():
     trainer = Trainer(
         model,
         task="masked",
-        cfg=TrainerConfig(epochs=6, batch_size=8, lr=3e-3, seed=0,
+        cfg=TrainerConfig(epochs=4, batch_size=8, lr=3e-3, seed=0,
                           step_size=2, gamma=0.5),
         run_dir=None,
     )
