@@ -209,6 +209,24 @@ def main():
     merged_reg = merge_kfold_results(out["regression_results"])
     plot_pred_vs_true(merged_reg, os.path.join(args.out_dir, "pred_vs_true"),
                       CLASS_NAMES_5)
+
+    # per-class radar plots (utils.py:1172-1307 equivalent)
+    from multimodal_supernovae_tpu.evaluation.metrics import (
+        class_dependent_regression_metrics,
+    )
+    from multimodal_supernovae_tpu.evaluation.reports import radar_plot
+
+    per_class = class_dependent_regression_metrics(
+        merged_reg.to_dict("records"), CLASS_NAMES_5
+    )
+    if per_class:
+        import pandas as pd
+
+        df = pd.DataFrame(per_class)
+        radar_dir = os.path.join(args.out_dir, "radar")
+        for (model, combo), group in df.groupby(["Model", "Combination"]):
+            for metric in ("L1", "L2", "R2", "OLF"):
+                radar_plot(group, f"{model} - {combo}", metric, radar_dir)
     print(f"wrote metrics to {args.out_dir}")
 
 
