@@ -63,18 +63,70 @@ def load_model(run_dir: str, example_batch: Batch, which: str = "best"):
     """Model + restored variables + split manifests from a run directory
     (``load_model``, models_multimodal.py:683-758).
 
+    Accepts BOTH this framework's run dirs (orbax ckpt_best/ckpt_last) and
+    the reference's original run dirs (PyTorch-Lightning ``*.ckpt`` files +
+    the same config/manifests) — reference checkpoints are imported via
+    ``import_reference_checkpoint`` and merged non-strictly, so existing
+    trained artifacts evaluate here unchanged.
+
     Returns (model, variables, run_cfg, extra, train_filenames,
     val_filenames).
     """
     import jax
 
-    from ..training.checkpoint import load_run_sidecars
+    from ..training.checkpoint import load_run_sidecars, merge_params_nonstrict
 
     model, run_cfg, extra = initialize_from_run_dir(run_dir)
     variables = model.init(jax.random.PRNGKey(0), example_batch)
-    variables = restore_run_variables(run_dir, variables, which)
+    if os.path.isdir(os.path.join(run_dir, "ckpt_best")):
+        variables = restore_run_variables(run_dir, variables, which)
+    else:
+        ckpt = _pick_reference_ckpt(run_dir, which)
+        imported = import_reference_checkpoint(ckpt)
+        variables = dict(
+            variables, params=merge_params_nonstrict(variables["params"], imported)
+        )
     _, train_names, val_names = load_run_sidecars(run_dir)
-    return model, variables, run_cfg, extra, sorted(train_names), sorted(val_names)
+    train_names = sorted(train_names) if train_names else []
+    val_names = sorted(val_names) if val_names else []
+    return model, variables, run_cfg, extra, train_names, val_names
+
+
+def _pick_reference_ckpt(run_dir: str, which: str) -> str:
+    ckpts = [f for f in os.listdir(run_dir) if f.endswith(".ckpt")]
+    if not ckpts:
+        raise FileNotFoundError(f"no orbax or torch checkpoints in {run_dir}")
+    if which == "last" and "last.ckpt" in ckpts:
+        return os.path.join(run_dir, "last.ckpt")
+    epoch_ckpts = sorted(
+        (c for c in ckpts if c.startswith("epoch=")),
+        key=lambda c: int(c.split("=")[1].split("-")[0]),
+    )
+    # smallest-epoch convention of the reference's get_checkpoint_paths
+    # (utils.py:779-819)
+    pick = epoch_ckpts[0] if epoch_ckpts else ckpts[0]
+    return os.path.join(run_dir, pick)
+
+
+def get_checkpoint_paths(root_dir: str, name: str, id: int):
+    """Walk a model family directory and return the smallest-epoch ``.ckpt``
+    per run (the reference's batch-eval discovery, utils.py:779-819).
+    Returns (paths, [name]*n, [id]*n)."""
+    paths = []
+    for dirpath, _dirnames, filenames in os.walk(root_dir):
+        best_epoch, best = float("inf"), None
+        for fname in filenames:
+            if not fname.endswith(".ckpt"):
+                continue
+            try:
+                epoch = int(fname.split("=")[1].split("-")[0])
+            except (IndexError, ValueError):
+                continue
+            if epoch < best_epoch:
+                best_epoch, best = epoch, os.path.join(dirpath, fname)
+        if best:
+            paths.append(best)
+    return paths, [name] * len(paths), [id] * len(paths)
 
 
 def restore_run_variables(run_dir: str, template: Dict, which: str = "best"):

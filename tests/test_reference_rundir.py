@@ -77,3 +77,39 @@ def test_full_clip_forward_with_reference_weights(rng):
     assert imported["meta_encoder"]["out"]["kernel"].shape[1] == 128
     # projections map n_out 32 -> enc_dim 128
     assert imported["lightcurve_projection"]["kernel"].shape == (32, 128)
+
+
+@needs_ref
+def test_load_model_on_reference_run_dir(rng):
+    """scripts-level entry: load_model consumes the reference's own run dir
+    (torch .ckpt + manifests) and produces working embeddings."""
+    import jax
+
+    from multimodal_supernovae_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_supernovae_tpu.models.factory import load_model
+
+    ds = make_synthetic_dataset(n=4, n_max_lc=100, nband=2, seed=0,
+                                modalities=("lightcurve",))
+    example = ds.host_batch(np.arange(4))
+    model, variables, run_cfg, extra, train_names, val_names = load_model(
+        REF_RUN, example
+    )
+    assert len(train_names) > len(val_names) > 0
+    assert all(n.startswith("ZTF") for n in val_names)
+    embs = model.apply(variables, example)
+    assert len(embs) == len(model.cfg.combinations)
+    e = np.asarray(embs[0])
+    assert np.isfinite(e).all()
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, rtol=1e-5)
+
+
+@needs_ref
+def test_get_checkpoint_paths_walks_reference_models():
+    from multimodal_supernovae_tpu.models.factory import get_checkpoint_paths
+
+    paths, names, ids = get_checkpoint_paths(
+        "/root/reference/models/clip_real_lc_meta", "clip-real-lc-meta", 0
+    )
+    assert len(paths) >= 3  # one smallest-epoch ckpt per sweep run
+    assert all(p.endswith(".ckpt") for p in paths)
+    assert set(names) == {"clip-real-lc-meta"}
