@@ -8,7 +8,7 @@ the device-resident dataset — no DataLoader, no per-batch host sync.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ models_multimodal.py:761-831) becomes pytree grafting:
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, List, Optional, Sequence
 

@@ -13,7 +13,6 @@ The reference's equivalent is Lightning's Python batch loop over
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -22,7 +22,6 @@ ModelCheckpoint and EarlyStopping did for the reference
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -33,7 +32,7 @@ import numpy as np
 from ..data.batching import ArrayDataset, Batch, epoch_indices
 from ..ops.metrics import macro_f1, r2_score, retrieval_auc
 from ..parallel.mesh import DATA_AXIS
-from ..parallel.sharding import batch_sharding, replicated, shard_params
+from ..parallel.sharding import replicated, shard_params
 from .checkpoint import CheckpointManager, save_run_sidecars
 from .optim import build_optimizer
 from .state import TrainState
