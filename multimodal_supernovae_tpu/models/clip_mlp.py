@@ -39,6 +39,10 @@ class ClipMLPConfig:
     def head_out(self) -> int:
         return self.n_classes if self.classification else 1
 
+    @property
+    def supervised(self) -> bool:
+        return self.regression or self.classification
+
 
 class ClipMLPHead(nn.Module):
     cfg: ClipMLPConfig

@@ -48,13 +48,43 @@ def load_run_config(run_dir: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 
 def initialize_from_run_dir(
     run_dir: str, combinations=None
-) -> Tuple[CLIPModel, Dict[str, Any], Dict[str, Any]]:
-    """Build an (uninitialised) CLIPModel from a run directory's config
-    (``initialize_model``, models_multimodal.py:583-680: nband=2, softmax)."""
+) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
+    """Build an (uninitialised) model from a run directory's config
+    (``initialize_model``, models_multimodal.py:583-680: nband=2, softmax).
+
+    Supervised fine-tune runs produced by scripts/finetune_clip.py (a
+    ``pretrain_path`` plus regression/classification in extra_args) rebuild
+    as a ClipMLPHead whose CLIP backbone config comes from the PRETRAINED
+    run's directory, matching how the run was constructed.
+    """
     run_cfg, extra = load_run_config(run_dir)
     if combinations is not None:
         extra = dict(extra, combinations=list(combinations))
     extra = dict(extra, loss="softmax")
+    supervised = extra.get("regression") or extra.get("classification")
+    if extra.get("pretrain_path") and supervised:
+        clip_model, _, _ = initialize_from_run_dir(
+            extra["pretrain_path"], combinations=extra["combinations"]
+        )
+        head_cfg = ClipMLPConfig(
+            clip=clip_model.cfg,
+            combinations=tuple(extra["combinations"]),
+            hidden_dim=int(run_cfg.get("hidden_dim", 32)),
+            num_layers=int(run_cfg.get("num_layers", 2)),
+            dropout=float(run_cfg.get("dropout", 0.0)),
+            regression=bool(extra.get("regression", False)),
+            classification=bool(extra.get("classification", False)),
+            n_classes=int(extra.get("n_classes", 5)),
+        )
+        return ClipMLPHead(head_cfg), run_cfg, extra
+    if "n_out" not in run_cfg and extra.get("pretrain_path"):
+        # contrastive fine-tune sweeps may omit architecture keys; the
+        # architecture then comes from the pretrained run's directory
+        # (finetune_clip.py:131-133 behavior)
+        model, _, _ = initialize_from_run_dir(
+            extra["pretrain_path"], combinations=extra["combinations"]
+        )
+        return model, run_cfg, extra
     cfg = build_clip_config(run_cfg, extra, nband=2)
     return CLIPModel(cfg), run_cfg, extra
 

@@ -115,12 +115,26 @@ def test_finetune_builder_regression_head(sweep_results, tmp_path):
                  regression=True, freeze_backbone=True)
     ft_sweep = load_sweep(SMOKE)
     ft_sweep.extra_args = extra
+    ft_sweep.raw["extra_args"] = extra
     ft_dir = make_sweep_dir(ft_sweep, str(tmp_path), "ftreg")
     results_ft = run_sweep(
         ft_sweep, ds, nband=2, folds=None, sweep_dir=ft_dir,
         model_builder=finetune_model_builder(extra), epochs_override=2,
     )
     assert "R2_val" in results_ft[0]["metric_rows"][-1]
+
+    # the run dir reloads as a ClipMLPHead and predicts (evaluate.py's
+    # supervised path)
+    from multimodal_supernovae_tpu.evaluation.embeddings import predict_supervised
+    from multimodal_supernovae_tpu.models.clip_mlp import ClipMLPHead
+    from multimodal_supernovae_tpu.models.factory import load_model
+
+    example = ds.host_batch(np.arange(4))
+    model, variables, *_ = load_model(results_ft[0]["run_dir"], example)
+    assert isinstance(model, ClipMLPHead)
+    assert model.cfg.supervised
+    preds = predict_supervised(model, variables, ds.subset(np.arange(8)))
+    assert preds.shape == (8, 1) and np.isfinite(preds).all()
 
 
 def test_masked_builder(tmp_path):
