@@ -13,16 +13,7 @@ import numpy as np
 from .batching import ArrayDataset
 
 
-def _plt():
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        return plt
-    except Exception:
-        return None
+from ..utils.plotting import get_pyplot as _plt
 
 
 def plot_lightcurves_and_images(

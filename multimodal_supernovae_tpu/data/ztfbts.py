@@ -51,12 +51,23 @@ def _read_csv(path: str, header: bool):
     return {str(c): df[c].to_numpy() for c in df.columns}
 
 
-def load_transient_table(data_dir: str):
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_table(path: str, mtime: float):
     import pandas as pd
 
-    df = pd.read_csv(os.path.join(data_dir, "ZTFBTS_TransientTable.csv"))
+    df = pd.read_csv(path)
     df["redshift"] = pd.to_numeric(df["redshift"], errors="coerce")
     return df
+
+
+def load_transient_table(data_dir: str):
+    """The per-SN metadata table, parsed once per (path, mtime) — the
+    image/lightcurve/redshift/class loaders all consult it."""
+    path = os.path.join(data_dir, "ZTFBTS_TransientTable.csv")
+    return _cached_table(path, os.path.getmtime(path))
 
 
 def load_images(
@@ -150,14 +161,17 @@ def load_lightcurves(
     if abs_mag:
         # Apparent -> absolute magnitudes via the flat-LCDM distance modulus
         # (the reference's astropy Planck15 path, dataloader.py:559-575).
+        # Redshifts come back in table order; re-align to our row order and
+        # drop rows without a finite redshift.
         from .extinction import flat_lcdm_distmod
 
-        z = load_redshifts(data_dir, names)[0]
-        ok = ~np.isnan(z)
+        z_vals, z_names = load_redshifts(data_dir, names)
+        z_by_name = dict(zip(z_names, z_vals))
+        z = np.array([z_by_name.get(n, np.nan) for n in names])
+        ok = np.isfinite(z)
         mu = flat_lcdm_distmod(np.where(ok, z, 0.1))
         arrays["x_lc"] = arrays["x_lc"] - mu.astype(np.float32)[:, None]
-        for k in arrays:
-            arrays[k] = arrays[k][ok]
+        arrays = {k: v[ok] for k, v in arrays.items()}
         names = [n for n, good in zip(names, ok) if good]
     return arrays, names
 
@@ -272,7 +286,8 @@ def load_ztfbts(
     if "host_galaxy" in combos:
         imgs, img_names = load_images(data_dir, names)
         intersect(img_names)
-        arrays["x_img"] = imgs
+        idx = {n: i for i, n in enumerate(img_names)}
+        arrays["x_img"] = imgs[np.array([idx[n] for n in names])]
 
     if "lightcurve" in combos:
         lc_arrays, lc_names = load_lightcurves(

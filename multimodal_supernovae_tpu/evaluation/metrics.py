@@ -125,10 +125,9 @@ def filter_classes_3way(
     """Keep 5-way classes {1: SN II, 3: SN Ia, 4: SN Ibc}, remap to 0..2 —
     the reference's 3-way evaluation path (evaluate_models.py:305-313,
     utils.py:1310-1350)."""
-    target = np.array([1, 3, 4])
-    keep = np.isin(labels, target)
-    remap = {1: 0, 3: 1, 4: 2}
-    new_labels = np.array([remap[int(l)] for l in labels[keep]], dtype=np.int32)
+    from ..data.transforms import remap_to_three_way
+
+    new_labels, keep = remap_to_three_way(np.asarray(labels))
     new_embs = [e[keep] for e in embeddings]
     new_extras = (
         {k: v[keep] for k, v in extras.items()} if extras is not None else None

@@ -49,16 +49,7 @@ def metrics_to_latex(
     return tables
 
 
-def _plt():
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        return plt
-    except Exception:
-        return None
+from ..utils.plotting import get_pyplot as _plt
 
 
 def plot_loss_history(train_hist, val_hist, path_base: str = "./") -> Optional[str]:
@@ -93,7 +84,9 @@ def plot_retrieval_curves(
 
     from ..ops.metrics import retrieval_rank_fractions
 
-    combos = sorted(combinations)
+    # combinations must be given in the same (canonical) order as the
+    # embedding lists — get_embeddings returns both consistently
+    combos = list(combinations)
     curves_t, curves_v, labels = [], [], []
     for i in range(len(embs_train) - 1):
         for j in range(i + 1, len(embs_train)):

@@ -233,7 +233,10 @@ class SequenceEncoder(nn.Module):
             h = h * mask[:, :, None].astype(h.dtype)
 
         if self.agg == "mean":
-            h = h.sum(axis=1) / mask.sum(axis=1).astype(h.dtype)[:, None]
+            if mask is None:
+                h = h.mean(axis=1)
+            else:
+                h = h.sum(axis=1) / mask.sum(axis=1).astype(h.dtype)[:, None]
         elif self.agg == "max":
             h = h.max(axis=1)
         elif self.agg == "attn":

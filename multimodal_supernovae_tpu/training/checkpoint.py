@@ -170,14 +170,6 @@ def load_params(path: str, template: Any) -> Any:
 # -- weight surgery ----------------------------------------------------------
 
 
-def _flatten(tree, prefix=()):
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            yield from _flatten(v, prefix + (k,))
-    else:
-        yield prefix, tree
-
-
 def merge_params_nonstrict(target: Dict, source: Dict) -> Dict:
     """Copy every source leaf whose path exists in target with a matching
     shape — ``load_state_dict(strict=False)`` semantics

@@ -130,6 +130,7 @@ def run_sweep(
         )
         state = None
         if params_override is not None:
+            trainer.set_dataset_size(len(train_ds))
             example = train_ds.host_batch(
                 np.arange(min(tcfg.batch_size, len(train_ds)))
             )

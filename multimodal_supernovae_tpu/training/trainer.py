@@ -88,6 +88,12 @@ class Trainer:
         monitor, mode = self._default_monitor()
         self.monitor = cfg.monitor or monitor
         self.mode = cfg.mode or mode
+        # set from the training set size before init_state so epoch-based lr
+        # schedules (StepLR) convert to optimizer steps correctly
+        self._steps_per_epoch = 1
+
+    def set_dataset_size(self, n_train: int) -> None:
+        self._steps_per_epoch = max(1, -(-n_train // self.cfg.batch_size))
 
     def _default_monitor(self) -> Tuple[str, str]:
         # script_wandb.py:197-228: classification monitors f1_val (max),
@@ -108,6 +114,7 @@ class Trainer:
             weight_decay=self.cfg.weight_decay,
             step_size=self.cfg.step_size,
             gamma=self.cfg.gamma,
+            steps_per_epoch=self._steps_per_epoch,
             freeze=self.freeze,
             params=params,
         )
@@ -164,6 +171,7 @@ class Trainer:
         else:
             logger, ckpts = None, None
 
+        self.set_dataset_size(len(train_ds))
         train_data = self._device_data(train_ds)
         val_data = self._device_data(val_ds)
         example = train_data.take(jnp.arange(cfg.batch_size) % len(train_ds))
@@ -259,7 +267,7 @@ class Trainer:
                     since_best = 0
                 else:
                     since_best += 1
-                if since_best > cfg.patience:
+                if since_best >= cfg.patience:  # Lightning wait_count >= patience
                     break
 
         result = {
