@@ -66,3 +66,28 @@ def test_nan_failure_detection():
     )
     with pytest.raises(FloatingPointError, match="non-finite"):
         trainer.fit(bad.subset(np.arange(12)), bad.subset(np.arange(12, 16)))
+
+
+def test_steplr_decays_per_epoch_not_per_step():
+    """Regression: StepLR must convert epoch step_size to optimizer steps
+    (a step_size=2 schedule with 4 steps/epoch decays at step 8, not 2)."""
+    import optax
+
+    from multimodal_supernovae_tpu.training.optim import build_optimizer
+
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones(3)}
+    tx = build_optimizer(lr=1.0, step_size=2, gamma=0.1, steps_per_epoch=4)
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    deltas = []
+    p = params
+    for _ in range(10):
+        updates, state = tx.update(grads, state, p)
+        deltas.append(float(jnp.abs(updates["w"][0])))
+        p = optax.apply_updates(p, updates)
+    # radam warmup: early steps are SGD-like; what matters is the decay
+    # boundary at step 8 (= 2 epochs x 4 steps), not step 2
+    assert deltas[2] > 0.01  # no decay after 2 optimizer steps
+    assert deltas[8] < deltas[7] * 0.5  # decay kicks in at 2 epochs
