@@ -113,9 +113,14 @@ def load_model(run_dir: str, example_batch: Batch, which: str = "best"):
     else:
         ckpt = _pick_reference_ckpt(run_dir, which)
         imported = import_reference_checkpoint(ckpt)
+        stats = imported.pop("__batch_stats__", None)
         variables = dict(
             variables, params=merge_params_nonstrict(variables["params"], imported)
         )
+        if stats is not None and "batch_stats" in variables:
+            variables["batch_stats"] = merge_params_nonstrict(
+                variables["batch_stats"], stats
+            )
     _, train_names, val_names = load_run_sidecars(run_dir)
     train_names = sorted(train_names) if train_names else []
     val_names = sorted(val_names) if val_names else []
@@ -355,10 +360,11 @@ def _import_seq_encoder(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
 def import_reference_checkpoint(path: str) -> Dict[str, Any]:
     """Reference Lightning .ckpt -> partial CLIP params pytree.
 
-    Covers the sequence encoders + projections + logit scale/bias (the
-    checkpoint surface needed to carry Maven/Maven-lite embeddings over).
-    ConvMixer import is not yet mapped (NCHW->NHWC conv kernel layout);
-    meta/MLP heads import directly.
+    Covers the sequence encoders, projections, logit scale/bias, the meta
+    encoder, supervised heads, masked-pretrainer subtrees, and the ConvMixer
+    image encoder (NCHW conv kernels transposed to NHWC; BatchNorm running
+    stats returned under the reserved ``__batch_stats__`` key, which callers
+    merge into the batch_stats collection).
     """
     import torch
 
@@ -378,6 +384,16 @@ def import_reference_checkpoint(path: str) -> Dict[str, Any]:
                 "kernel": _t(sd[f"{proj}.weight"]),
                 "bias": np.asarray(sd[f"{proj}.bias"]),
             }
+    # host-galaxy ConvMixer: NCHW conv kernels -> NHWC, BatchNorm running
+    # stats -> the batch_stats collection
+    if "image_encoder.net.0.weight" in sd:
+        conv_params, conv_stats = _import_convmixer(sd, "image_encoder.")
+        params["image_encoder"] = conv_params
+        params.setdefault("__batch_stats__", {})["image_encoder"] = conv_stats
+        params["image_projection"] = {
+            "kernel": _t(sd["image_projection.weight"]),
+            "bias": np.asarray(sd["image_projection.bias"]),
+        }
     # meta encoder: class embedding + MLP (models_multimodal.py:190-193)
     if "class_emb.weight" in sd:
         params["class_emb"] = {"embedding": np.asarray(sd["class_emb.weight"])}
@@ -396,6 +412,52 @@ def import_reference_checkpoint(path: str) -> Dict[str, Any]:
             "bias": np.asarray(sd["last_layer.bias"]),
         }
     return params
+
+
+def _conv_kernel(w) -> np.ndarray:
+    """torch conv weight (out, in/groups, kh, kw) -> flax (kh, kw, in/groups,
+    out)."""
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0))
+
+
+def _import_convmixer(sd: Dict[str, Any], prefix: str):
+    """Reference ConvMixer state dict (models_multimodal.py:38-95 Sequential
+    layout: net.0 patch conv, net.2 BN, then per depth-i block
+    net.{3+i}.0.fn.0 depthwise conv / .0.fn.2 BN / .1 pointwise conv /
+    .3 BN; projection.2 and projection.5 Linears) -> (params, batch_stats)
+    for models/convmixer.py (NHWC)."""
+    g = lambda k: np.asarray(sd[prefix + k])
+
+    def bn(key):
+        return (
+            {"scale": g(key + ".weight"), "bias": g(key + ".bias")},
+            {"mean": g(key + ".running_mean"), "var": g(key + ".running_var")},
+        )
+
+    params: Dict[str, Any] = {
+        "patch_embed": {"kernel": _conv_kernel(g("net.0.weight"))},
+        "head_fc1": {"kernel": _t(g("projection.2.weight")),
+                     "bias": g("projection.2.bias")},
+        "head_fc2": {"kernel": _t(g("projection.5.weight")),
+                     "bias": g("projection.5.bias")},
+    }
+    stats: Dict[str, Any] = {}
+    params["patch_bn"], stats["patch_bn"] = bn("net.2")
+    i = 0
+    while f"{prefix}net.{3 + i}.0.fn.0.weight" in sd:
+        blk = f"net.{3 + i}"
+        params[f"dw_conv_{i}"] = {
+            "kernel": _conv_kernel(g(blk + ".0.fn.0.weight")),
+            "bias": g(blk + ".0.fn.0.bias"),
+        }
+        params[f"dw_bn_{i}"], stats[f"dw_bn_{i}"] = bn(blk + ".0.fn.2")
+        params[f"pw_conv_{i}"] = {
+            "kernel": _conv_kernel(g(blk + ".1.weight")),
+            "bias": g(blk + ".1.bias"),
+        }
+        params[f"pw_bn_{i}"], stats[f"pw_bn_{i}"] = bn(blk + ".3")
+        i += 1
+    return params, stats
 
 
 def _import_mlp(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
