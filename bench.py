@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
     import jax
