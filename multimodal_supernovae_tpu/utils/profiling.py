@@ -8,6 +8,7 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+import numpy as np
 
 
 @contextlib.contextmanager
@@ -18,6 +19,25 @@ def xprof_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def fetch_barrier(tree) -> None:
+    """True execution barrier: fetch one scalar from the computation output.
+
+    ``jax.block_until_ready`` is NOT a reliable barrier on tunneled backends
+    (it returns before the program finishes on the axon transport), so all
+    timing code synchronizes by *fetching a value* instead: transferring an
+    element of the program's output to the host cannot complete before the
+    program does. One scalar per call keeps the sync cost at a single
+    host<->device round trip regardless of output size.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "dtype")]
+    if not leaves:
+        return
+    leaf = leaves[-1]
+    flat = leaf if getattr(leaf, "ndim", 0) == 0 else leaf.ravel()[0]
+    np.asarray(jax.device_get(flat))
 
 
 class Throughput:
@@ -34,7 +54,7 @@ class Throughput:
 
     def stop(self, sync_on=None) -> float:
         if sync_on is not None:
-            jax.block_until_ready(sync_on)
+            fetch_barrier(sync_on)
         dt = time.perf_counter() - self._t0
         self._count += 1
         if self._count > self.warmup:
