@@ -117,6 +117,12 @@ class BaselineCLIP(nn.Module):
 
 
 def main(batch=256, steps=8, warmup=2):
+    # Use every core the host grants us (VERDICT r1 weak #2: a 1-thread
+    # measurement on a multi-core host would be a strawman baseline). This
+    # image's host is genuinely single-core (sched_getaffinity == {0}), so
+    # threads == 1 here is "all cores", and the JSON records that.
+    host_cpus = len(os.sched_getaffinity(0))
+    torch.set_num_threads(host_cpus)
     torch.manual_seed(0)
     rng = np.random.default_rng(0)
     T, S = 200, 220
@@ -154,11 +160,20 @@ def main(batch=256, steps=8, warmup=2):
         "batch": batch,
         "device": "cpu",
         "torch_threads": torch.get_num_threads(),
+        "host_cpus": host_cpus,
         "provenance": (
             "torch-CPU reimplementation of the reference train step "
             "(maven-lite config, B=256, T=200 LC + S=220 spectra, "
             "noise aug + CLIP softmax + RAdam); reference stack itself "
             "cannot run in this image"
+        ),
+        "caveat": (
+            "measured with all host cores available to this image "
+            f"({host_cpus}); on an N-core node the torch-CPU baseline "
+            "scales roughly with cores, so divide bench.py's vs_baseline "
+            "by ~N to compare against a well-provisioned CPU host. The "
+            "defensible headline is the absolute paired_samples/s/chip "
+            "plus MFU, not the ratio."
         ),
     }
     out = os.path.join(os.path.dirname(__file__), "..", "BASELINE_MEASURED.json")

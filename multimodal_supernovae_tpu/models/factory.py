@@ -61,6 +61,24 @@ def initialize_from_run_dir(
     if combinations is not None:
         extra = dict(extra, combinations=list(combinations))
     extra = dict(extra, loss="softmax")
+    if "f_mask" in run_cfg and not extra.get("pretrain_path"):
+        # Masked-pretraining run (ckpts hold net.*/last_layer.* for a
+        # MaskedLightCurveEncoder). The reference's own load_model cannot
+        # rebuild these (models_multimodal.py:683-758 only handles CLIP);
+        # this framework loads every shipped family.
+        cfg = MaskedEncoderConfig.create(
+            f_mask=float(run_cfg["f_mask"]),
+            nband=2,
+            transformer_kwargs={
+                "n_out": int(run_cfg.get("n_out", 1)),
+                "emb": int(run_cfg.get("emb", 128)),
+                "heads": int(run_cfg.get("heads", 2)),
+                "depth": int(run_cfg.get("transformer_depth", 4)),
+                "dropout": float(run_cfg.get("dropout", 0.0)),
+                "time_norm": float(run_cfg.get("time_norm", 10000.0)),
+            },
+        )
+        return MaskedLightCurveEncoder(cfg), run_cfg, extra
     supervised = extra.get("regression") or extra.get("classification")
     if extra.get("pretrain_path") and supervised:
         clip_model, _, _ = initialize_from_run_dir(
@@ -128,7 +146,12 @@ def load_model(run_dir: str, example_batch: Batch, which: str = "best"):
 
 
 def _pick_reference_ckpt(run_dir: str, which: str) -> str:
-    ckpts = [f for f in os.listdir(run_dir) if f.endswith(".ckpt")]
+    # some reference run dirs ship last.ckpt as a symlink to the authors'
+    # cluster filesystem — skip entries that don't resolve
+    ckpts = [
+        f for f in os.listdir(run_dir)
+        if f.endswith(".ckpt") and os.path.exists(os.path.join(run_dir, f))
+    ]
     if not ckpts:
         raise FileNotFoundError(f"no orbax or torch checkpoints in {run_dir}")
     if which == "last" and "last.ckpt" in ckpts:

@@ -124,18 +124,33 @@ def make_epoch_runner(
     return jax.jit(run_epoch, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_runner(model, gather_axis: Optional[str] = None) -> Callable:
+def make_eval_runner(
+    model,
+    gather_axis: Optional[str] = None,
+    rotate_images: bool = True,
+) -> Callable:
     """Whole-validation-epoch scan: per-step loss plus whatever auxiliary
     outputs the model's loss_fn emits (embeddings / preds / logits), stacked
     over steps. ``key`` feeds stochastic objectives (masked pretraining
-    validates with random masks, like the reference)."""
+    validates with random masks, like the reference).
+
+    ``rotate_images`` reproduces the reference's validation semantics: its
+    val loaders are NoisyDataLoaders at noise level 0, and NoisyDataLoader
+    rotates images by a random multiple of 90 degrees UNCONDITIONALLY
+    (src/dataloader.py:103-114; val loaders built at script_wandb.py:94) —
+    so reference val_loss/AUC for image runs is computed on rotated images.
+    Default True matches the reference; pass False for deterministic eval.
+    No-op for batches without images."""
     compute = make_loss_computer(model, gather_axis)
 
     def run_eval(state: TrainState, data: Batch, index_plan, key):
         def body(key, idx):
-            key, sub = jax.random.split(key)
+            key, aug_key, sub = jax.random.split(key, 3)
+            batch = augment_batch(
+                data.take(idx), aug_key, rotate_images=rotate_images
+            )
             loss, aux, _ = compute(
-                state.params, state.batch_stats, data.take(idx), None, sub, False
+                state.params, state.batch_stats, batch, None, sub, False
             )
             return key, (loss, aux)
 

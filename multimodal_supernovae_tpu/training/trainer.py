@@ -196,7 +196,9 @@ class Trainer:
             noise_level_mag=cfg.noise_level_mag,
             rotate_images=cfg.rotate_images,
         )
-        run_eval = make_eval_runner(self.model, gather_axis=None)
+        run_eval = make_eval_runner(
+            self.model, gather_axis=None, rotate_images=cfg.rotate_images
+        )
 
         # Fixed-shape eval plan (sequential, tail repeats the last sample,
         # trimmed after flattening).

@@ -128,3 +128,80 @@ def test_early_stopping():
     res = trainer.fit(train, val)
     # lr=0: no improvement after epoch 0 -> stops at patience+1 extra epochs
     assert res["epochs_run"] <= 5
+
+
+def test_eval_runner_rotation_matches_reference_semantics(rng):
+    """The reference's val loaders rotate images by a random multiple of 90
+    degrees even at noise level 0 (src/dataloader.py:103-114; val loaders
+    built with noise 0 at script_wandb.py:94). make_eval_runner must
+    reproduce that by default for image runs, and be a no-op without images.
+    Oracle: the same loss computation with rotation applied explicitly."""
+    import optax
+
+    from multimodal_supernovae_tpu.data.augment import augment_batch
+    from multimodal_supernovae_tpu.data.batching import Batch
+    from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
+    from multimodal_supernovae_tpu.training.state import TrainState
+    from multimodal_supernovae_tpu.training.step import (
+        make_eval_runner,
+        make_loss_computer,
+    )
+
+    seq = dict(SEQ)
+    conv = {"dim": 8, "depth": 1, "kernel_size": 3, "patch_size": 10,
+            "n_out": 8, "dropout_prob": 0.0}
+    cfg = CLIPConfig.create(
+        combinations=("host_galaxy", "lightcurve"), enc_dim=8, nband=2,
+        transformer_kwargs=seq, conv_kwargs=conv, use_pallas=False,
+    )
+    model = CLIPModel(cfg)
+    b, t = 8, 10
+    data = Batch(
+        x_lc=jnp.array(rng.normal(size=(b, t)).astype(np.float32)),
+        t_lc=jnp.array(np.abs(rng.normal(size=(b, t))).astype(np.float32)),
+        mask_lc=jnp.ones((b, t), dtype=bool),
+        err_lc=jnp.array(0.1 * np.abs(rng.normal(size=(b, t))).astype(np.float32)),
+        x_img=jnp.array(rng.random((b, 20, 20, 3)).astype(np.float32)),
+        redshift=jnp.array(rng.random(b).astype(np.float32)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), data.take(jnp.arange(4)))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=optax.sgd(0.0),
+        batch_stats=variables.get("batch_stats"),
+    )
+    plan = jnp.arange(8).reshape(2, 4)
+    key = jax.random.PRNGKey(5)
+
+    losses_rot, _ = make_eval_runner(model, rotate_images=True)(
+        state, data, plan, key)
+    losses_plain, _ = make_eval_runner(model, rotate_images=False)(
+        state, data, plan, key)
+
+    # oracle: identical key schedule, rotation applied explicitly
+    compute = make_loss_computer(model)
+    k, want = key, []
+    for row in np.asarray(plan):
+        k, aug_key, sub = jax.random.split(k, 3)
+        aug = augment_batch(data.take(jnp.array(row)), aug_key,
+                            rotate_images=True)
+        loss, _, _ = compute(state.params, state.batch_stats, aug, None, sub,
+                             False)
+        want.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses_rot), np.asarray(want),
+                               rtol=1e-5)
+    # rotation must actually change image-run losses vs deterministic eval
+    assert not np.allclose(np.asarray(losses_rot), np.asarray(losses_plain))
+
+    # without images, the flag is a no-op
+    data_lc = data.replace(x_img=None)
+    cfg2 = CLIPConfig.create(
+        combinations=("lightcurve",), enc_dim=8, nband=2,
+        transformer_kwargs=seq, use_pallas=False, regression=True,
+    )
+    m2 = CLIPModel(cfg2)
+    v2 = m2.init(jax.random.PRNGKey(0), data_lc.take(jnp.arange(4)))
+    s2 = TrainState.create(apply_fn=m2.apply, params=v2["params"],
+                           tx=optax.sgd(0.0), batch_stats=None)
+    l_rot, _ = make_eval_runner(m2, rotate_images=True)(s2, data_lc, plan, key)
+    l_plain, _ = make_eval_runner(m2, rotate_images=False)(s2, data_lc, plan, key)
+    np.testing.assert_allclose(np.asarray(l_rot), np.asarray(l_plain))
