@@ -22,11 +22,31 @@ REF = "/root/reference"
 
 def load_reference_models():
     """Return the reference's ``src.models_multimodal`` module, with stub
-    pytorch_lightning/wandb/torchmetrics/src.utils injected if absent."""
+    pytorch_lightning/wandb/torchmetrics/ruamel/src.utils injected if
+    absent."""
     import torch.nn as nn
 
     if REF not in sys.path:
         sys.path.insert(0, REF)
+
+    if "ruamel" not in sys.modules:
+        import yaml as _pyyaml
+
+        ruamel = types.ModuleType("ruamel")
+        ruamel_yaml = types.ModuleType("ruamel.yaml")
+
+        class YAML:  # backed by pyyaml; the reference only uses typ="safe"
+            def __init__(self, typ="safe"):
+                assert typ == "safe"
+
+            def load(self, stream):
+                return _pyyaml.safe_load(stream)
+
+        ruamel_yaml.YAML = YAML
+        ruamel.yaml = ruamel_yaml
+        ruamel.__stub__ = ruamel_yaml.__stub__ = True
+        sys.modules["ruamel"] = ruamel
+        sys.modules["ruamel.yaml"] = ruamel_yaml
 
     if "pytorch_lightning" not in sys.modules:
         pl_stub = types.ModuleType("pytorch_lightning")
@@ -67,3 +87,10 @@ def load_reference_models():
         sys.modules["src.utils"] = utils_stub
 
     return importlib.import_module("src.models_multimodal")
+
+
+def load_reference_pretraining():
+    """Return the reference's ``src.models_pretraining`` (the masked MAE
+    oracle). Reuses the same stubs."""
+    load_reference_models()
+    return importlib.import_module("src.models_pretraining")

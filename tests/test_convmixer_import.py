@@ -1,7 +1,14 @@
-"""ConvMixer checkpoint import: an independent torch oracle (the reference's
-documented ConvMixer structure with its state-dict key layout) produces the
-same outputs as the flax ConvMixer running the imported weights — including
-BatchNorm running statistics, in eval mode."""
+"""ConvMixer checkpoint import: the REFERENCE'S OWN ConvMixer class
+(src/models_multimodal.py:38-95, loaded via tests/ref_modules.py) produces
+the same outputs as the flax ConvMixer running the imported weights —
+including BatchNorm running statistics, in eval mode. No trained reference
+checkpoint ships image weights (verified across all 28 importable families),
+so the oracle weights are random-init with burned-in BN statistics.
+
+A structural twin of the reference's Sequential layout is kept as a
+fallback oracle for when the reference snapshot is not mounted."""
+
+import os
 
 import numpy as np
 import pytest
@@ -70,10 +77,23 @@ def torch_convmixer(dim, depth, channels, kernel_size, patch_size, n_out):
     return Wrapper()
 
 
+def _reference_convmixer(dim, depth, ch, ks, ps, n_out):
+    """The reference's real ConvMixer when the snapshot is mounted, else the
+    structural twin above."""
+    if os.path.isdir("/root/reference/src"):
+        from ref_modules import load_reference_models
+
+        ref = load_reference_models()
+        return ref.ConvMixer(dim=dim, depth=depth, channels=ch,
+                             kernel_size=ks, patch_size=ps, n_out=n_out,
+                             dropout_prob=0.0)
+    return torch_convmixer(dim, depth, ch, ks, ps, n_out)
+
+
 def test_convmixer_import_matches_torch(rng):
     dim, depth, ch, ks, ps, n_out = 8, 2, 3, 3, 5, 6
     torch.manual_seed(0)
-    oracle = torch_convmixer(dim, depth, ch, ks, ps, n_out)
+    oracle = _reference_convmixer(dim, depth, ch, ks, ps, n_out)
 
     # give the BN layers non-trivial running stats
     oracle.train()
