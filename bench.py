@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
+def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3,
+         dtype: str = None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +34,9 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
     from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
     from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
     from multimodal_supernovae_tpu.training.step import make_epoch_runner
+    from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu
 
+    dtype = dtype or os.environ.get("MMSN_BENCH_DTYPE", "bfloat16")
     n_chips = len(jax.devices())
     # maven-lite hyperparameters, real ZTF shapes
     seq_lc = {"n_out": 32, "emb": 64, "heads": 8, "depth": 5,
@@ -44,6 +47,7 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
         combinations=("lightcurve", "spectral"), enc_dim=32, nband=2,
         logit_scale_init=19.55, loss="softmax",
         transformer_kwargs=seq_lc, transformer_spectral_kwargs=seq_sp,
+        compute_dtype=None if dtype in ("float32", "f32") else dtype,
     )
     model = CLIPModel(cfg)
     ds = make_synthetic_dataset(n=max(2048, batch), n_max_lc=100, nband=2,
@@ -84,11 +88,20 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
     per_chip = samples_per_s / n_chips
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
-    vs = None
+    vs, base_note = None, None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            base = json.load(f)["paired_samples_per_sec"]
-        vs = per_chip / base
+            base = json.load(f)
+        vs = per_chip / base["paired_samples_per_sec"]
+        base_note = (
+            f"torch-CPU stand-in on {base.get('host_cpus', '?')} host core(s); "
+            "see BASELINE_MEASURED.json caveat — absolute samples/s and MFU "
+            "are the defensible headline"
+        )
+
+    # MFU: analytic matmul FLOPs (slight lower bound) vs chip dense peak
+    step_flops = clip_train_step_flops(cfg, batch, t_lc=200, t_sp=220)
+    eff = mfu(step_flops, step_time, n_chips)
 
     print(json.dumps({
         "metric": "contrastive_pretrain_throughput",
@@ -97,14 +110,20 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3) -> None:
         "vs_baseline": round(vs, 1) if vs is not None else None,
         "detail": {
             "batch": batch,
+            "compute_dtype": dtype,
             "step_time_ms": round(step_time * 1e3, 2),
             "n_chips": n_chips,
             "backend": jax.default_backend(),
             "final_loss": float(losses[-1]),
+            "model_tflops_per_s": round(eff["model_tflops_per_s"], 2),
+            "mfu_pct": round(eff["mfu_pct"], 2),
+            "peak_tflops_per_s": eff["peak_tflops_per_s"],
+            "baseline_note": base_note,
         },
     }))
 
 
 if __name__ == "__main__":
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    main(batch)
+    dtype = sys.argv[2] if len(sys.argv) > 2 else None
+    main(batch, dtype=dtype)

@@ -27,9 +27,9 @@ import yaml
 
 from ..config.config import (
     SweepConfig,
+    SweepScheduler,
     build_clip_config,
     build_trainer_config,
-    expand_grid,
 )
 from ..data.batching import ArrayDataset
 from ..data.folds import split_for_run
@@ -82,13 +82,11 @@ def run_sweep(
     """
     extra = sweep.extra_args
     results = []
-    if sweep.method == "random":
-        n_runs = max_runs or int(extra.get("nruns", 32))
-    else:
-        n_runs = sweep.n_points if max_runs is None else min(max_runs, sweep.n_points)
+    scheduler = SweepScheduler(sweep, max_runs=max_runs)
 
-    for k, run_cfg in enumerate(expand_grid(sweep)):
-        if k >= n_runs:
+    for k in range(scheduler.n_runs):
+        run_cfg = scheduler.suggest()
+        if run_cfg is None:
             break
         run_name = f"run-{k}"
         run_dir = os.path.join(sweep_dir, run_name)
@@ -143,9 +141,21 @@ def run_sweep(
         res["run_dir"] = run_dir
         res["run_cfg"] = run_cfg
         results.append(res)
+        scheduler.observe(run_cfg, _sweep_objective(res, sweep))
 
         _post_fit_reports(model, res, train_ds, val_ds, task, run_dir)
     return results
+
+
+def _sweep_objective(res: Dict[str, Any], sweep: SweepConfig) -> Optional[float]:
+    """The sweep metric value a bayes scheduler optimizes: the reference's
+    configs all target ``best_val_loss`` (configs/*.yaml metric.name); other
+    names fall back to the trainer's monitored best."""
+    name = (sweep.metric or {}).get("name", "best_val_loss")
+    if name == "best_val_loss" and res["history"].get("val_loss"):
+        return float(np.min(res["history"]["val_loss"]))
+    best = res.get("best", {}).get("value")
+    return None if best is None else float(best)
 
 
 def _default_pretrain_surgery(run_cfg, extra, model):

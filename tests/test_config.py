@@ -91,3 +91,77 @@ def test_steplr_decays_per_epoch_not_per_step():
     # boundary at step 8 (= 2 epochs x 4 steps), not step 2
     assert deltas[2] > 0.01  # no decay after 2 optimizer steps
     assert deltas[8] < deltas[7] * 0.5  # decay kicks in at 2 epochs
+
+
+def test_bayes_search_finds_optimum_region():
+    """TPE-lite bayes: on a separable quadratic objective over a 10x10 grid,
+    30 suggestions locate the optimum region far better than the startup
+    phase alone, all suggestions are unique, and exhaustion returns None."""
+    from multimodal_supernovae_tpu.config.config import BayesSearch, SweepConfig
+
+    sweep = SweepConfig(
+        parameters={"a": list(range(10)), "b": list(range(10))},
+        extra_args={"sweep_seed": 0},
+        method="bayes",
+        metric={"name": "best_val_loss", "goal": "minimize"},
+    )
+    search = BayesSearch(sweep, n_startup=5)
+    seen, best = set(), float("inf")
+    for _ in range(30):
+        cfg = search.suggest()
+        assert cfg is not None
+        key = (cfg["a"], cfg["b"])
+        assert key not in seen
+        seen.add(key)
+        val = (cfg["a"] - 3) ** 2 + (cfg["b"] - 7) ** 2
+        best = min(best, val)
+        search.observe(cfg, val)
+    assert best <= 2, f"bayes failed to localize the optimum (best={best})"
+    # exhaustion: after all 100 points, suggest() returns None
+    while search.suggest() is not None:
+        pass
+    assert search.suggest() is None
+
+
+def test_bayes_maximize_goal():
+    from multimodal_supernovae_tpu.config.config import BayesSearch, SweepConfig
+
+    sweep = SweepConfig(
+        parameters={"a": list(range(8))},
+        extra_args={},
+        method="bayes",
+        metric={"name": "best_auc", "goal": "maximize"},
+    )
+    search = BayesSearch(sweep, n_startup=3)
+    best = -1
+    for _ in range(8):
+        cfg = search.suggest()
+        if cfg is None:
+            break
+        val = -abs(cfg["a"] - 6)  # maximum at a=6
+        best = max(best, val)
+        search.observe(cfg, val)
+    assert best == 0
+
+
+def test_sweep_scheduler_budgets():
+    from multimodal_supernovae_tpu.config.config import SweepConfig, SweepScheduler
+
+    grid = SweepConfig(parameters={"a": [1, 2], "b": [3, 4]}, extra_args={})
+    s = SweepScheduler(grid)
+    assert s.n_runs == 4
+    cfgs = [s.suggest() for _ in range(5)]
+    assert cfgs[-1] is None and all(c is not None for c in cfgs[:4])
+
+    bayes = SweepConfig(parameters={"a": [1, 2], "b": [3, 4]},
+                        extra_args={"nruns": 3}, method="bayes")
+    s = SweepScheduler(bayes)
+    assert s.n_runs == 3
+    out = []
+    while True:
+        c = s.suggest()
+        if c is None:
+            break
+        out.append(c)
+        s.observe(c, 0.0)
+    assert len(out) == 3
