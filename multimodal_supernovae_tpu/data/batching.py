@@ -133,11 +133,15 @@ class ArrayDataset:
         is the right call — batches are then on-device gathers.
         """
         kwargs = {}
+        if sharding is not None:
+            # multi-process aware: each host holds the same full arrays and
+            # contributes only its addressable shards (parallel/distributed.py)
+            from ..parallel.distributed import global_put
         for k, v in self.arrays.items():
-            arr = jnp.asarray(v)
             if sharding is not None:
-                arr = jax.device_put(arr, sharding)
-            kwargs[k] = arr
+                kwargs[k] = global_put(v, sharding)
+            else:
+                kwargs[k] = jnp.asarray(v)
         return Batch(**kwargs)
 
     def host_batch(self, indices: np.ndarray) -> Batch:

@@ -71,6 +71,10 @@ def param_sharding_rules(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Place parameters on the mesh per the partition rules."""
+    """Place parameters on the mesh per the partition rules. Multi-process
+    safe: every process initialises identical params from the same seed and
+    contributes the shards of its addressable devices."""
+    from .distributed import global_put
+
     shardings = param_sharding_rules(params, mesh)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.tree_util.tree_map(global_put, params, shardings)

@@ -131,14 +131,15 @@ class Trainer:
         return ds.to_device(sharding)
 
     def _plan_to_device(self, plan: np.ndarray):
-        arr = jnp.asarray(plan)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            arr = jax.device_put(
-                arr, NamedSharding(self.mesh, P(None, DATA_AXIS))
+            from ..parallel.distributed import global_put
+
+            return global_put(
+                np.asarray(plan), NamedSharding(self.mesh, P(None, DATA_AXIS))
             )
-        return arr
+        return jnp.asarray(plan)
 
     # -- fit -----------------------------------------------------------------
 
@@ -301,11 +302,157 @@ class Trainer:
             ckpts.close()
         return result
 
+    # -- sharded (streaming) fit ----------------------------------------------
+
+    def fit_sharded(
+        self,
+        train_sds,  # data.streaming.ShardedDataset
+        val_ds: ArrayDataset,
+        config_dump: Optional[Dict[str, Any]] = None,
+        state: Optional[TrainState] = None,
+    ) -> Dict[str, Any]:
+        """Train over a sharded cache too large to materialise: per epoch,
+        shuffled shard order, ONE shard resident in HBM at a time, the same
+        jitted epoch scan per shard (data/streaming.py). Eval/checkpoint/
+        early-stop cadence matches ``fit``; validation stays in-memory."""
+        from ..data.streaming import shard_epoch_schedule
+
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        root_key = jax.random.PRNGKey(cfg.seed + 1)
+
+        if self.run_dir:
+            save_run_sidecars(
+                self.run_dir, config_dump or dataclasses.asdict(cfg),
+                [f"SHARD{i:05d}x{n}" for i, n in enumerate(train_sds.shard_sizes)],
+                val_ds.filenames or [],
+            )
+            logger = MetricsLogger(self.run_dir, use_wandb=self.use_wandb)
+            ckpts = CheckpointManager(
+                self.run_dir, self.monitor, self.mode, cfg.keep_best
+            )
+        else:
+            logger, ckpts = None, None
+
+        self.set_dataset_size(len(train_sds))
+        val_data = self._device_data(val_ds)
+        first_shard = train_sds.load_shard(0)
+        example = first_shard.to_device().take(jnp.arange(cfg.batch_size))
+        if state is None:
+            state = self.init_state(example)
+        del first_shard, example
+
+        run_epoch = make_epoch_runner(
+            self.model, gather_axis=None,
+            noise_level_img=cfg.noise_level_img,
+            noise_level_mag=cfg.noise_level_mag,
+            rotate_images=cfg.rotate_images,
+        )
+        run_eval = make_eval_runner(
+            self.model, gather_axis=None, rotate_images=cfg.rotate_images
+        )
+        val_plan = self._plan_to_device(
+            epoch_indices(len(val_ds), cfg.batch_size, shuffle=False,
+                          pad="repeat_last")
+        )
+        n_val = len(val_ds)
+
+        history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
+        metric_rows: List[Dict[str, float]] = []
+        best = {"value": None, "epoch": -1}
+        since_best = 0
+        t_start = time.time()
+        epoch = -1
+        for epoch in range(cfg.epochs):
+            schedule = shard_epoch_schedule(train_sds, cfg.batch_size, rng)
+            root_key, vkey = jax.random.split(root_key)
+            t0 = time.time()
+            epoch_losses = []
+            n_steps = 0
+            for si, plan in schedule:
+                shard_data = self._device_data(train_sds.load_shard(si))
+                root_key, ekey = jax.random.split(root_key)
+                state, losses = run_epoch(
+                    state, shard_data, self._plan_to_device(plan), ekey
+                )
+                epoch_losses.append(losses)
+                n_steps += plan.shape[0]
+                del shard_data  # drop the HBM residence before the next shard
+            train_loss = float(jnp.mean(jnp.concatenate(epoch_losses)))
+            if not np.isfinite(train_loss):
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch}"
+                )
+            step_time = (time.time() - t0) / max(n_steps, 1)
+            history["train_loss"].append(train_loss)
+            metrics: Dict[str, float] = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "step_time_s": step_time,
+                "samples_per_s": cfg.batch_size / max(step_time, 1e-9),
+            }
+            if epoch % cfg.eval_every_epochs == 0:
+                val_losses, aux = run_eval(state, val_data, val_plan, vkey)
+                metrics["val_loss"] = float(jnp.mean(val_losses))
+                history["val_loss"].append(metrics["val_loss"])
+                metrics.update(self._task_metrics(aux, val_ds, n_val))
+            metric_rows.append(metrics)
+            if logger:
+                logger.log(metrics, step=epoch)
+            if ckpts:
+                ckpts.save(epoch, state, metrics)
+            if self.monitor in metrics:
+                current = metrics[self.monitor]
+                better = (
+                    best["value"] is None
+                    or (self.mode == "min" and current < best["value"])
+                    or (self.mode == "max" and current > best["value"])
+                )
+                if better:
+                    best = {"value": current, "epoch": epoch}
+                    since_best = 0
+                else:
+                    since_best += 1
+                if since_best >= cfg.patience:
+                    break
+
+        result = {
+            "state": state,
+            "history": history,
+            "metric_rows": metric_rows,
+            "best": best,
+            "epochs_run": epoch + 1,
+            "wall_time_s": time.time() - t_start,
+        }
+        if ckpts:
+            ckpts.wait()
+            result["best_ckpt_epoch"] = ckpts.best_epoch()
+            ckpts.close()
+        if logger:
+            logger.close()
+        return result
+
     # -- task metrics --------------------------------------------------------
+
+    @staticmethod
+    def _to_host(x):
+        """Host readback that also works for multi-host sharded outputs:
+        replicated/local arrays convert directly; arrays with shards on
+        other processes are gathered over DCN first."""
+        if (
+            isinstance(x, jax.Array)
+            and jax.process_count() > 1
+            and not (x.is_fully_addressable or x.is_fully_replicated)
+        ):
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
 
     def _task_metrics(
         self, aux: Dict[str, Any], val_ds: ArrayDataset, n_val: int
     ) -> Dict[str, float]:
+        aux = jax.tree_util.tree_map(self._to_host, aux)
         out: Dict[str, float] = {}
         if self.task == "contrastive":
             embs = [
