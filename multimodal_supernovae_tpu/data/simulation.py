@@ -55,6 +55,47 @@ def _iter_groups(file, top: str, transient_types: Optional[Sequence[str]]):
             yield t_type, model
 
 
+def iter_simulation_chunks(
+    hdf5_path: str,
+    bands: Sequence[str] = ("r",),
+    n_max_obs: int = 100,
+    n_max_obs_spec: int = 220,
+    combinations: Sequence[str] = ("lightcurve",),
+    noise: bool = True,
+    dataset_length: Optional[int] = None,
+    transient_types: Optional[Sequence[str]] = None,
+    seed: int = 0,
+):
+    """Yield canonical-field chunks, one HDF5 model-group at a time.
+
+    The streaming unit: each chunk is fully preprocessed (packed, masked,
+    time-zeroed) but only ONE group's matrices are host-resident at once —
+    corpora larger than host RAM/HBM stream through data/streaming.py's
+    shard writer instead of concatenating (dataloader.py:1037-1229 is the
+    reference's per-item equivalent).
+    """
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    combos = set(combinations)
+    want_lc = "lightcurve" in combos
+    want_sp = "spectral" in combos
+
+    total = 0
+    with h5py.File(hdf5_path, "r") as f:
+        top = "Photometry" if "Photometry" in f else "Spectroscopy"
+        for t_type, model in _iter_groups(f, top, transient_types):
+            remaining = None if dataset_length is None else dataset_length - total
+            if remaining is not None and remaining <= 0:
+                break
+            chunk = _ingest_group(
+                f, t_type, model, bands, n_max_obs, n_max_obs_spec,
+                want_lc, want_sp, noise, rng, remaining,
+            )
+            total += len(chunk["redshift"])
+            yield chunk
+
+
 def ingest_simulation(
     hdf5_path: str,
     bands: Sequence[str] = ("r",),
@@ -72,35 +113,41 @@ def ingest_simulation(
     (dataloader.py:1155-1158, :1196-1199). ``bands`` uses the reference's
     convention: any name other than 'g' maps to the ZTF-R filter code.
     ``dataset_length`` truncates to the first N entries in group order.
+    Materialises the full corpus; use ``stream_simulation_to_cache`` when it
+    does not fit.
     """
-    import h5py
-
-    rng = np.random.default_rng(seed)
-    combos = set(combinations)
-    nband = len(bands)
-    want_lc = "lightcurve" in combos
-    want_sp = "spectral" in combos
-
     parts: Dict[str, List[np.ndarray]] = {}
     total = 0
-    with h5py.File(hdf5_path, "r") as f:
-        top = "Photometry" if "Photometry" in f else "Spectroscopy"
-        for t_type, model in _iter_groups(f, top, transient_types):
-            remaining = None if dataset_length is None else dataset_length - total
-            if remaining is not None and remaining <= 0:
-                break
-            chunk = _ingest_group(
-                f, t_type, model, bands, n_max_obs, n_max_obs_spec,
-                want_lc, want_sp, noise, rng, remaining,
-            )
-            n_chunk = len(chunk["redshift"])
-            total += n_chunk
-            for k, v in chunk.items():
-                parts.setdefault(k, []).append(v)
+    for chunk in iter_simulation_chunks(
+        hdf5_path, bands, n_max_obs, n_max_obs_spec, combinations, noise,
+        dataset_length, transient_types, seed,
+    ):
+        total += len(chunk["redshift"])
+        for k, v in chunk.items():
+            parts.setdefault(k, []).append(v)
 
     arrays = {k: np.concatenate(v, axis=0) for k, v in parts.items()}
     names = [f"SIM{i:07d}" for i in range(total)]
     return ArrayDataset(arrays, names)
+
+
+def stream_simulation_to_cache(
+    hdf5_path: str,
+    cache_dir: str,
+    rows_per_shard: int = 65536,
+    **ingest_kwargs,
+):
+    """Stream a (possibly >HBM) simulation corpus into a sharded cache.
+
+    Returns a ``ShardedDataset``; train over it with
+    ``Trainer.fit_sharded``. Host peak memory is O(rows_per_shard)."""
+    from .streaming import write_sharded_cache
+
+    return write_sharded_cache(
+        cache_dir,
+        iter_simulation_chunks(hdf5_path, **ingest_kwargs),
+        rows_per_shard,
+    )
 
 
 def _ingest_group(
