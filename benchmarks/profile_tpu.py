@@ -63,10 +63,16 @@ def main():
 
     bi = ("lightcurve", "spectral")
     tri = ("host_galaxy", "lightcurve", "spectral")
+    bf16 = dict(use_pallas=True, compute_dtype="bfloat16")
     variants = [
-        ("flash_b256_budget1M", dict(use_pallas=True), 256, bi),
-        ("flash_b256_fwdonly", dict(use_pallas=True), 256, bi),
-        ("flash_trimodal_b256", dict(use_pallas=True), 256, tri),
+        ("flash_b256_bf16", bf16, 256, bi),
+        ("flash_b512_bf16", bf16, 512, bi),
+        ("flash_b1024_bf16", bf16, 1024, bi),
+        ("flash_b2048_bf16", bf16, 2048, bi),
+        ("flash_b1024_f32", dict(use_pallas=True), 1024, bi),
+        ("flash_b1024_bf16_fwdonly", bf16, 1024, bi),
+        ("flash_trimodal_b256_bf16", bf16, 256, tri),
+        ("flash_trimodal_b512_bf16", bf16, 512, tri),
     ]
     if args.quick:
         variants = variants[:2]
@@ -106,10 +112,11 @@ def main():
         else:
             run_epoch = make_epoch_runner(model, noise_level_img=1.0,
                                           noise_level_mag=1.0, donate=False)
+        # Fixed 16-step plan regardless of batch/dataset size: random row
+        # gathers are perf-equivalent to a shuffled epoch, and >=16 steps per
+        # scan amortise the tunnel's ~30 ms readback RTT out of the timing.
         steps = 16
-        plan = jnp.asarray(
-            epoch_indices(n_rows, batch, rng=rng, shuffle=True, pad="drop")[:steps]
-        )
+        plan = jnp.asarray(rng.integers(0, n_rows, size=(steps, batch)))
         t0 = time.perf_counter()
         try:
             step_time, last_loss = time_scan(run_epoch, state, d, plan,

@@ -70,6 +70,14 @@ def build_optimizer(
             {"train": tx, "frozen": optax.set_to_zero()},
             mask,
         )
+    else:
+        # Run the (elementwise) optimizer math over ONE concatenated vector
+        # instead of per-leaf: with O(300) small leaves the per-leaf RAdam
+        # kernels dominated the whole train step on TPU (12 of 21 ms at
+        # B=256 — benchmarks/ablate_results.json); flattening makes the
+        # update a handful of fused full-vector ops. Exactly
+        # semantics-preserving for elementwise transforms.
+        tx = optax.flatten(tx)
     return tx
 
 
