@@ -98,11 +98,13 @@ def main():
         a = jnp.ones((m, k), jnp.bfloat16)
         b = jnp.ones((k, n), jnp.bfloat16)
 
-        # thread the carry through the matmul so XLA cannot hoist it out of
-        # the scan as loop-invariant (which would time pure dispatch)
+        # thread the carry through a NONLINEARITY into the matmul: matmul is
+        # linear, so any affine carry-dependence gets factored out and the
+        # matmul hoisted as loop-invariant (v1 and v2 of this script timed
+        # pure dispatch that way)
         def mm(carry, _, a=a, b=b):
-            out = (a + carry) @ b
-            return out[0, 0].astype(jnp.float32), out.sum()
+            out = jnp.maximum(a, carry) @ b
+            return out[0, 0].astype(jnp.float32) * 1e-9, out.sum()
 
         sec = timed_scan(mm, jnp.float32(0.0), jnp.arange(STEPS))
         results[name] = {"us": round(sec * 1e6, 1),

@@ -66,20 +66,20 @@ def main():
     bf16 = dict(use_pallas=True, compute_dtype="bfloat16")
     variants = [
         ("flash_b256_bf16", bf16, 256, bi),
-        ("flash_b512_bf16", bf16, 512, bi),
-        ("flash_b1024_bf16", bf16, 1024, bi),
-        ("flash_b2048_bf16", bf16, 2048, bi),
-        ("flash_b1024_f32", dict(use_pallas=True), 1024, bi),
-        ("flash_b1024_bf16_fwdonly", bf16, 1024, bi),
+        ("flash_b256_bf16_budget12M", bf16, 256, bi),
+        ("flash_b256_bf16_fwdonly", bf16, 256, bi),
+        ("flash_b512_bf16_budget12M", bf16, 512, bi),
+        ("flash_b1024_bf16_budget12M", bf16, 1024, bi),
         ("flash_trimodal_b256_bf16", bf16, 256, tri),
-        ("flash_trimodal_b512_bf16", bf16, 512, tri),
     ]
     if args.quick:
         variants = variants[:2]
 
     rng = np.random.default_rng(0)
     for name, extra_cfg, batch, combos in variants:
-        if "budget8M" in name:
+        if "budget12M" in name:
+            os.environ["MMSN_FLASH_VMEM_BUDGET"] = str(12 * 1024 * 1024)
+        elif "budget8M" in name:
             os.environ["MMSN_FLASH_VMEM_BUDGET"] = str(8 * 1024 * 1024)
         elif "budget1M" in name:
             os.environ["MMSN_FLASH_VMEM_BUDGET"] = str(1 * 1024 * 1024)

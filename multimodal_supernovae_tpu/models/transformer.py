@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention
+from ..ops import fused_block as _fused
 
 
 def time_positional_encoding(t: jax.Array, d_emb: int, norm: float) -> jax.Array:
@@ -81,10 +82,65 @@ class SelfAttention(nn.Module):
         return nn.Dense(e, dtype=self.dtype, name="unifyheads")(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter shell: declares exactly the params an ``nn.Dense`` would
+    (same names, shapes, initializers) without applying it — the fused block
+    kernel consumes the raw arrays. Keeps the param tree identical whether a
+    block runs fused or unfused, so checkpoints/imports are interchangeable."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        if not self.use_bias:
+            return kernel, None
+        return kernel, self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+
+
+class _LNParams(nn.Module):
+    """Parameter shell mirroring ``nn.LayerNorm``'s scale/bias."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.features,)),
+            self.param("bias", nn.initializers.zeros_init(), (self.features,)),
+        )
+
+
+class _AttnParams(nn.Module):
+    """Parameter shell mirroring ``SelfAttention``'s submodule tree."""
+
+    emb: int
+
+    @nn.compact
+    def __call__(self):
+        wk, _ = _DenseParams(self.emb, self.emb, False, name="tokeys")()
+        wq, _ = _DenseParams(self.emb, self.emb, False, name="toqueries")()
+        wv, _ = _DenseParams(self.emb, self.emb, False, name="tovalues")()
+        wu, bu = _DenseParams(self.emb, self.emb, True, name="unifyheads")()
+        return wq, wk, wv, wu, bu
+
+
 class TransformerBlock(nn.Module):
     """Post-norm block: ``norm1(attn(x) + x)`` -> dropout ->
     ``norm2(ff(x) + x)`` -> dropout, with a ReLU MLP of width
-    ``ff_hidden_mult * emb`` (src/transformer_utils.py:92-116)."""
+    ``ff_hidden_mult * emb`` (src/transformer_utils.py:92-116).
+
+    On TPU with inactive dropout the whole block runs as ONE fused Pallas
+    kernel (ops/fused_block.py) — same math, same params, ~15x less HBM
+    traffic; ``use_pallas=False`` or active dropout take the unfused path.
+    """
 
     emb: int
     heads: int
@@ -97,6 +153,44 @@ class TransformerBlock(nn.Module):
     def __call__(
         self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
     ) -> jax.Array:
+        import os
+
+        # The fused block kernel is OPT-IN (MMSN_FUSED_BLOCK=1 or explicit
+        # use_pallas=True): measured on v5e at the reference's shapes it
+        # LOSES ~4 ms/step to the XLA lowering (benchmarks r2, README perf
+        # notes) — the model is too small for the kernel's per-program
+        # overhead to amortise. Kept, tested and documented for larger
+        # encoder configs where the traffic saving wins.
+        use_fused = self.use_pallas
+        if use_fused is None:
+            use_fused = os.environ.get("MMSN_FUSED_BLOCK") == "1"
+        elif os.environ.get("MMSN_FUSED_BLOCK") == "0":
+            use_fused = False
+        if (
+            use_fused
+            and self.dropout == 0.0
+            and _fused.supports(x.shape[1], self.emb, self.heads)
+        ):
+            wq, wk, wv, wu, bu = _AttnParams(self.emb, name="attention")()
+            g1, b1 = _LNParams(self.emb, name="norm1")()
+            f = self.ff_hidden_mult * self.emb
+            wf1, bf1 = _DenseParams(self.emb, f, name="ff_in")()
+            wf2, bf2 = _DenseParams(f, self.emb, name="ff_out")()
+            g2, b2 = _LNParams(self.emb, name="norm2")()
+            return _fused.fused_transformer_block(
+                x, mask,
+                {
+                    "toqueries": wq, "tokeys": wk, "tovalues": wv,
+                    "unifyheads_kernel": wu, "unifyheads_bias": bu,
+                    "norm1_scale": g1, "norm1_bias": b1,
+                    "ff_in_kernel": wf1, "ff_in_bias": bf1,
+                    "ff_out_kernel": wf2, "ff_out_bias": bf2,
+                    "norm2_scale": g2, "norm2_bias": b2,
+                },
+                self.heads,
+                use_pallas_attention=self.use_pallas,
+            )
+
         attended = SelfAttention(
             self.emb, self.heads, use_pallas=self.use_pallas, dtype=self.dtype,
             name="attention",
@@ -114,7 +208,15 @@ class TransformerBlock(nn.Module):
 
 class Transformer(nn.Module):
     """Input dropout + a stack of post-norm blocks
-    (src/transformer_utils.py:119-153)."""
+    (src/transformer_utils.py:119-153).
+
+    ``remat`` checkpoints each block: the backward pass recomputes the
+    block's ~10 intermediates from its (much smaller) input instead of
+    fetching them from HBM. OPT-IN (default off): at the reference's sizes
+    the step is attention-compute-bound, not residual-traffic-bound, and
+    remat measured 5 ms/step SLOWER on v5e (benchmarks r2) — it pays off
+    only for models whose activations pressure HBM.
+    """
 
     emb: int
     heads: int
@@ -123,14 +225,25 @@ class Transformer(nn.Module):
     dropout: float = 0.0
     use_pallas: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
+    remat: Optional[bool] = None
 
     @nn.compact
     def __call__(
         self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
     ) -> jax.Array:
+        import os
+
+        remat = self.remat
+        if remat is None:
+            remat = os.environ.get("MMSN_REMAT") == "1"
+        block_cls = (
+            nn.remat(TransformerBlock, static_argnums=(3,))
+            if remat else TransformerBlock
+        )
+
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         for i in range(self.depth):
-            x = TransformerBlock(
+            x = block_cls(
                 self.emb,
                 self.heads,
                 self.ff_hidden_mult,

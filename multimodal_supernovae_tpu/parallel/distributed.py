@@ -157,6 +157,26 @@ def global_put(x: Any, sharding: NamedSharding):
     return jax.tree_util.tree_map(put_one, x, sharding)
 
 
+def add_mesh_args(ap) -> None:
+    """Attach the shared --mesh/--tp CLI flags to an argparse parser."""
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard training over all devices (data x model mesh)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="model (tensor-parallel) axis size; implies --mesh")
+
+
+def mesh_from_args(args) -> Optional[Mesh]:
+    """Resolve the CLI mesh request: joins the distributed runtime when a
+    pod/cluster is detected (or MMSN_* env is set), then builds the global
+    (data, model) mesh if sharding was requested or we are multi-host."""
+    multihost = initialize()
+    if not (args.mesh or args.tp > 1 or multihost):
+        return None
+    mesh = make_global_mesh(n_model=args.tp)
+    print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+    return mesh
+
+
 def fetch_global_scalar(x: jax.Array) -> float:
     """Execution barrier + value readback that works for multi-host arrays:
     fully-replicated or single-scalar outputs are addressable everywhere."""

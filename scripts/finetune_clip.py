@@ -31,11 +31,18 @@ def main():
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (overrides env/sitecustomize)")
+    from multimodal_supernovae_tpu.parallel.distributed import (
+        add_mesh_args,
+        mesh_from_args,
+    )
+
+    add_mesh_args(ap)
     args = ap.parse_args()
 
     from multimodal_supernovae_tpu.utils.platform import select_platform
 
     select_platform(args.platform)
+    mesh = mesh_from_args(args)
 
     from multimodal_supernovae_tpu.config import load_sweep
     from multimodal_supernovae_tpu.data.cache import load_or_ingest
@@ -82,6 +89,7 @@ def main():
         use_wandb=args.wandb,
         max_runs=args.max_runs or extra.get("nruns"),
         epochs_override=args.epochs,
+        mesh=mesh,
     )
     for r in results:
         print(f"{r['run_dir']}: best {r['best']}")

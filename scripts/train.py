@@ -36,10 +36,12 @@ def main():
                     help="capture an XLA profiler trace of training here")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (overrides env/sitecustomize)")
-    ap.add_argument("--mesh", action="store_true",
-                    help="shard training over all devices (data x model mesh)")
-    ap.add_argument("--tp", type=int, default=1,
-                    help="model (tensor-parallel) axis size; implies --mesh")
+    from multimodal_supernovae_tpu.parallel.distributed import (
+        add_mesh_args,
+        mesh_from_args,
+    )
+
+    add_mesh_args(ap)
     args = ap.parse_args()
 
     from multimodal_supernovae_tpu.utils.platform import select_platform
@@ -48,16 +50,7 @@ def main():
 
     # Multi-host: joins the jax.distributed runtime when launched on a pod
     # (auto-detected) or under MMSN_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID.
-    from multimodal_supernovae_tpu.parallel import (
-        initialize_distributed,
-        make_global_mesh,
-    )
-
-    multihost = initialize_distributed()
-    mesh = None
-    if args.mesh or args.tp > 1 or multihost:
-        mesh = make_global_mesh(n_model=args.tp)
-        print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.ravel())} devices")
+    mesh = mesh_from_args(args)
 
     from multimodal_supernovae_tpu.config import load_sweep
     from multimodal_supernovae_tpu.data.cache import load_or_ingest

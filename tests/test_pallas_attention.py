@@ -82,6 +82,30 @@ def test_backward_matches_dense(rng):
         )
 
 
+def test_backward_fully_masked_row(rng):
+    """A sample with NO valid keys: probs are uniform (finite), and the
+    forward's where(mask, ., FILL) passes zero gradient to q/k there."""
+    q, k, v, mask = _inputs(rng, b=2, h=2, t=128, s=8)
+    mask = mask.at[0].set(False)
+    emb = q.shape[1] * q.shape[3]
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, mask, emb) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, emb) ** 2)
+
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    assert np.all(np.asarray(got[0][0]) == 0)  # dq of the masked sample
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_encoder_with_pallas_flag(rng):
     """SequenceEncoder(use_pallas=True) runs the kernel (interpret mode)."""
     from multimodal_supernovae_tpu.models import SequenceEncoder
