@@ -30,21 +30,22 @@ def test_meter_measures_execution_not_dispatch():
     x = jnp.eye(512) + 0.01
     fetch_barrier(f(x))  # compile + warm up
 
-    # Dispatch-only wall time (async: returns before execution finishes).
+    # Reference execution time, measured with an explicit value fetch.
     t0 = time.perf_counter()
-    y = f(x * 1.0001)
-    t_dispatch = time.perf_counter() - t0
+    fetch_barrier(f(x * 1.0001))
+    t_exec = time.perf_counter() - t0
 
     # Meter with sync must include the execution.
     meter = Throughput(warmup=0)
     meter.start()
     dt = meter.stop(sync_on=f(x * 1.0002))
-    np.asarray(y)  # drain
 
     assert dt > 0
-    # The scanned 512x512 matmul chain takes >> dispatch time; if the barrier
-    # regressed to a no-op, dt would collapse to ~t_dispatch.
-    assert dt >= max(5 * t_dispatch, 1e-3), (dt, t_dispatch)
+    # The scanned 512x512 matmul chain takes milliseconds; if the barrier
+    # regressed to a no-op, dt would collapse to the ~microsecond dispatch.
+    # (Comparing against a fraction of t_exec, not a multiple of dispatch
+    # time: host-side dispatch wall time is noisy on a loaded 1-core CI.)
+    assert dt >= max(0.3 * t_exec, 1e-3), (dt, t_exec)
     assert meter.summary(items_per_call=10)["items_per_s"] == pytest.approx(
         10 / dt, rel=1e-6
     )
