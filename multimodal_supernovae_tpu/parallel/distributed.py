@@ -64,15 +64,23 @@ def initialize(
         process_id = int(os.environ[_ENV_PID])
 
     if coordinator_address is None and num_processes is None:
-        # No explicit config. Only auto-initialize when a recognised cluster
-        # environment is present (TPU pod / SLURM); a bare single host stays
-        # a plain single-process run.
-        if not any(k in os.environ for k in (
-            "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
-            "SLURM_JOB_NUM_NODES", "CLOUD_TPU_TASK_ID",
-        )):
+        # No explicit config. Only auto-initialize when the environment
+        # advertises MORE THAN ONE worker — single-entry pod variables (a
+        # tunnelled/emulated backend exports TPU_WORKER_HOSTNAMES=localhost)
+        # must not trigger a coordinator handshake that would hang or fail
+        # a plain single-host run. Fail soft either way.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multiworker = (
+            len([h for h in hostnames.split(",") if h.strip()]) > 1
+            or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+            or int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1) > 1
+        )
+        if not multiworker:
             return False
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return False
         return True
 
     try:
