@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3,
+def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
          dtype: str = None) -> None:
     import jax
     import jax.numpy as jnp
@@ -65,8 +65,11 @@ def main(batch: int = 256, steps_per_scan: int = 32, scans: int = 3,
 
     rng = np.random.default_rng(0)
     plan = epoch_indices(len(ds), batch, rng=rng, shuffle=True, pad="drop")
+    if plan.shape[0] < steps_per_scan:  # tile: amortise the ~28 ms tunnel
+        reps = -(-steps_per_scan // plan.shape[0])  # RTT over enough steps
+        plan = np.concatenate([plan] * reps, axis=0)
     plan = jnp.asarray(plan[:steps_per_scan])
-    n_steps = plan.shape[0]  # may be < steps_per_scan for small datasets
+    n_steps = plan.shape[0]
     key = jax.random.PRNGKey(0)
 
     # compile + warmup. NOTE: sync via a VALUE FETCH, not block_until_ready —

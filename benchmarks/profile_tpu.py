@@ -66,10 +66,9 @@ def main():
     bf16 = dict(use_pallas=True, compute_dtype="bfloat16")
     variants = [
         ("flash_b256_bf16", bf16, 256, bi),
-        ("flash_b256_bf16_budget12M", bf16, 256, bi),
         ("flash_b256_bf16_fwdonly", bf16, 256, bi),
-        ("flash_b512_bf16_budget12M", bf16, 512, bi),
-        ("flash_b1024_bf16_budget12M", bf16, 1024, bi),
+        ("flash_b512_bf16", bf16, 512, bi),
+        ("flash_b256_f32", dict(use_pallas=True), 256, bi),
         ("flash_trimodal_b256_bf16", bf16, 256, tri),
     ]
     if args.quick:
