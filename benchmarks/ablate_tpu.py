@@ -12,8 +12,6 @@ import json
 import os
 import sys
 import time
-from functools import partial
-
 import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))

@@ -111,10 +111,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         dv_ref[...] += dv_tile.astype(dv_ref.dtype)
 
 
-def _choose_nb(bh: int, t: int, tq: int) -> int:
+def _choose_nb(bh: int, t: int, tq: int, budget_scale: float = 1.0) -> int:
     """Rows per program: within the VMEM score budget, a multiple of 8 (the
-    mask block's sublane divisibility requirement), dividing bh."""
+    mask block's sublane divisibility requirement), dividing bh.
+
+    ``budget_scale``: the backward kernel holds ~2x the score-sized live
+    buffers of the forward (scores+probs+dprobs+dscores with partial
+    reuse), so it halves the budget — fewer rows per program, but within
+    the 16 MB scoped-vmem ceiling.
+    """
     budget = int(os.environ.get("MMSN_FLASH_VMEM_BUDGET", _SCORE_VMEM_BUDGET))
+    budget = int(budget * budget_scale)
     nb = max(8, budget // (4 * tq * t) // 8 * 8)
     nb = min(nb, bh)
     while nb > 8 and bh % nb:
@@ -192,7 +199,7 @@ def _flash_bwd(emb, tq, residuals, g):
     qt, kt, vt, mask = residuals
     bh, s, t = qt.shape
     scale = float(emb) ** -0.25
-    nb = _choose_nb(bh, t, tq)
+    nb = _choose_nb(bh, t, tq, budget_scale=0.5)
     grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
