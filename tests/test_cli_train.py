@@ -40,7 +40,7 @@ def test_train_cli_end_to_end(tmp_path):
             "--analysis-path", str(tmp_path / "analysis"),
             "--cache-dir", str(tmp_path / "cache"),
         ],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=420,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=560,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     run_dir = tmp_path / "analysis" / "smoke" / "run-0"
@@ -60,7 +60,7 @@ def test_train_cli_end_to_end(tmp_path):
             "--cache-dir", str(tmp_path / "cache"),
             "--epochs", "1",
         ],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=420,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=560,
     )
     assert out2.returncode == 0, out2.stderr[-3000:]
     assert "cache=hit" in out2.stdout
