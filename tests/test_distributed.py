@@ -54,3 +54,34 @@ def test_initialize_noop_without_cluster_env(monkeypatch):
               "SLURM_JOB_NUM_NODES", "CLOUD_TPU_TASK_ID"):
         monkeypatch.delenv(k, raising=False)
     assert initialize() is False
+
+
+def test_initialize_ignores_single_worker_hostname(monkeypatch):
+    """A tunnelled backend exports TPU_WORKER_HOSTNAMES=localhost in every
+    process; treating that as a pod hung the training CLIs (round-2 bug).
+    Only a genuinely multi-worker signal may trigger auto-init."""
+    monkeypatch.delenv("MMSN_COORDINATOR", raising=False)
+    monkeypatch.delenv("MMSN_NUM_PROCESSES", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize() is False
+
+
+def test_mesh_from_args_cli_glue(monkeypatch):
+    """The shared --mesh/--tp argparse glue used by all training CLIs."""
+    import argparse
+
+    from multimodal_supernovae_tpu.parallel.distributed import (
+        add_mesh_args,
+        mesh_from_args,
+    )
+
+    monkeypatch.delenv("MMSN_COORDINATOR", raising=False)
+    monkeypatch.delenv("MMSN_NUM_PROCESSES", raising=False)
+    ap = argparse.ArgumentParser()
+    add_mesh_args(ap)
+
+    assert mesh_from_args(ap.parse_args([])) is None  # default: no mesh
+    mesh = mesh_from_args(ap.parse_args(["--mesh"]))
+    assert dict(mesh.shape) == {DATA_AXIS: 8, MODEL_AXIS: 1}
+    mesh = mesh_from_args(ap.parse_args(["--tp", "2"]))  # implies --mesh
+    assert dict(mesh.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2}
