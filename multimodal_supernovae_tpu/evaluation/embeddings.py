@@ -52,6 +52,41 @@ def get_embeddings(
     return out, names
 
 
+def masked_reconstruction_mse(
+    model,
+    variables: Dict,
+    ds: ArrayDataset,
+    key,
+    batch_size: int = 256,
+) -> np.ndarray:
+    """Per-sample MSE of a MaskedLightCurveEncoder's reconstruction over a
+    seeded random hidden span — an anomaly score for serving
+    (scripts/infer.py). One jitted scan, fixed shapes."""
+    data = ds.to_device()
+    n = len(ds)
+    plan = jnp.asarray(
+        epoch_indices(n, min(batch_size, n), shuffle=False, pad="repeat_last")
+    )
+
+    @jax.jit
+    def scan_mse(variables, plan, key):
+        def body(key, idx):
+            key, sub = jax.random.split(key)
+            b = data.take(idx)
+            truth, pred, pmask = model.apply(
+                variables, b.x_lc, b.t_lc, b.mask_lc, sub,
+                method=model.masked_pred,
+            )
+            w = pmask.astype(pred.dtype)
+            err = ((pred - truth) ** 2 * w).sum(axis=-1)
+            return key, err / jnp.maximum(w.sum(axis=-1), 1)
+
+        _, mse = jax.lax.scan(body, key, plan)
+        return mse
+
+    return np.asarray(scan_mse(variables, plan, key)).reshape(-1)[:n]
+
+
 def predict_supervised(
     model,
     variables: Dict,

@@ -62,6 +62,7 @@ def main():
     from multimodal_supernovae_tpu.data.ztfbts import load_ztfbts
     from multimodal_supernovae_tpu.evaluation.embeddings import (
         get_embeddings,
+        masked_reconstruction_mse,
         predict_supervised,
     )
     from multimodal_supernovae_tpu.models.factory import (
@@ -134,34 +135,10 @@ def main():
     }
 
     if isinstance(model, MaskedLightCurveEncoder):
-        import jax.numpy as jnp
-
-        from multimodal_supernovae_tpu.data.batching import epoch_indices
-
-        data = dataset.to_device()
-        n = len(dataset)
-        plan = jnp.asarray(epoch_indices(n, min(args.batch_size, n),
-                                         shuffle=False, pad="repeat_last"))
-        key = jax.random.PRNGKey(args.seed)
-
-        @jax.jit
-        def scan_mse(variables, plan, key):
-            def body(key, idx):
-                key, sub = jax.random.split(key)
-                b = data.take(idx)
-                truth, pred, pmask = model.apply(
-                    variables, b.x_lc, b.t_lc, b.mask_lc, sub,
-                    method=model.masked_pred,
-                )
-                w = pmask.astype(pred.dtype)
-                err = ((pred - truth) ** 2 * w).sum(axis=-1)
-                return key, err / jnp.maximum(w.sum(axis=-1), 1)
-
-            _, mse = jax.lax.scan(body, key, plan)
-            return mse
-
-        mse = np.asarray(scan_mse(variables, plan, key)).reshape(-1)[:n]
-        arrays["recon_mse"] = mse
+        arrays["recon_mse"] = masked_reconstruction_mse(
+            model, variables, dataset, jax.random.PRNGKey(args.seed),
+            batch_size=args.batch_size,
+        )
         manifest["task"] = "masked_anomaly_score"
     elif getattr(model.cfg, "supervised", False) or type(model).__name__ == "ClipMLPHead":
         preds = predict_supervised(model, variables, dataset,
