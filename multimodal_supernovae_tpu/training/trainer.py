@@ -158,14 +158,20 @@ class Trainer:
         rng = np.random.default_rng(cfg.seed)
         root_key = jax.random.PRNGKey(cfg.seed + 1)
 
+        # Multi-host: every process participates in orbax saves (required
+        # for sharded-state checkpoints), but only process 0 writes the
+        # sidecars/metrics files — they live on a shared or per-host FS.
+        is_main = jax.process_index() == 0
         if self.run_dir:
-            save_run_sidecars(
-                self.run_dir,
-                config_dump or dataclasses.asdict(cfg),
-                train_ds.filenames,
-                val_ds.filenames,
-            )
-            logger = MetricsLogger(self.run_dir, use_wandb=self.use_wandb)
+            if is_main:
+                save_run_sidecars(
+                    self.run_dir,
+                    config_dump or dataclasses.asdict(cfg),
+                    train_ds.filenames,
+                    val_ds.filenames,
+                )
+            logger = (MetricsLogger(self.run_dir, use_wandb=self.use_wandb)
+                      if is_main else None)
             ckpts = CheckpointManager(
                 self.run_dir, self.monitor, self.mode, cfg.keep_best
             )
@@ -321,13 +327,17 @@ class Trainer:
         rng = np.random.default_rng(cfg.seed)
         root_key = jax.random.PRNGKey(cfg.seed + 1)
 
+        is_main = jax.process_index() == 0
         if self.run_dir:
-            save_run_sidecars(
-                self.run_dir, config_dump or dataclasses.asdict(cfg),
-                [f"SHARD{i:05d}x{n}" for i, n in enumerate(train_sds.shard_sizes)],
-                val_ds.filenames or [],
-            )
-            logger = MetricsLogger(self.run_dir, use_wandb=self.use_wandb)
+            if is_main:
+                save_run_sidecars(
+                    self.run_dir, config_dump or dataclasses.asdict(cfg),
+                    [f"SHARD{i:05d}x{n}"
+                     for i, n in enumerate(train_sds.shard_sizes)],
+                    val_ds.filenames or [],
+                )
+            logger = (MetricsLogger(self.run_dir, use_wandb=self.use_wandb)
+                      if is_main else None)
             ckpts = CheckpointManager(
                 self.run_dir, self.monitor, self.mode, cfg.keep_best
             )

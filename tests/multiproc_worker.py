@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--n-model", type=int, default=1)
+    ap.add_argument("--run-dir", default=None,
+                    help="exercise multi-host checkpointing/sidecars")
     args = ap.parse_args()
 
     jax.config.update("jax_num_cpu_devices", args.local_devices)
@@ -57,7 +59,7 @@ def main():
         CLIPModel(cfg), task="contrastive",
         cfg=TrainerConfig(epochs=args.epochs, batch_size=16, lr=3e-3, seed=0,
                           noise_level_mag=1.0),
-        run_dir=None, mesh=mesh,
+        run_dir=args.run_dir, mesh=mesh,
     )
     res = trainer.fit(ds.subset(np.arange(48)), ds.subset(np.arange(48, 64)))
 
@@ -68,6 +70,7 @@ def main():
         "mesh_shape": dict(mesh.shape),
         "train_loss": res["history"]["train_loss"],
         "val_loss": res["history"]["val_loss"],
+        "best_ckpt_epoch": res.get("best_ckpt_epoch"),
     }), flush=True)
 
 

@@ -31,7 +31,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(n_proc: int, local_devices: int, n_model: int = 1, epochs: int = 2):
+def _run_workers(n_proc: int, local_devices: int, n_model: int = 1,
+                 epochs: int = 2, run_dir: str = None):
     port = _free_port()
     procs = []
     for pid in range(n_proc):
@@ -44,10 +45,13 @@ def _run_workers(n_proc: int, local_devices: int, n_model: int = 1, epochs: int 
             # 8-device flag; the worker sets its own local device count
             "XLA_FLAGS": "",
         })
+        cmd = [sys.executable, WORKER, "--local-devices", str(local_devices),
+               "--epochs", str(epochs), "--n-model", str(n_model)]
+        if run_dir:
+            cmd += ["--run-dir", run_dir]
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, "--local-devices", str(local_devices),
-             "--epochs", str(epochs), "--n-model", str(n_model)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
         ))
     results = []
     for p in procs:
@@ -78,6 +82,54 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(
         multi[0]["val_loss"], single["val_loss"], rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_two_process_checkpointing(tmp_path):
+    """Multi-host checkpointing: every process participates in the orbax
+    save (sharded-state requirement), only process 0 writes sidecars; the
+    resulting run dir restores on a plain single-process 8-device mesh —
+    pod-written checkpoints must be portable to any topology."""
+    run_dir = str(tmp_path / "run")
+    multi = _run_workers(n_proc=2, local_devices=2, epochs=2, run_dir=run_dir)
+    assert all(r["best_ckpt_epoch"] is not None for r in multi)
+    assert os.path.exists(os.path.join(run_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert os.path.isdir(os.path.join(run_dir, "ckpt_last"))
+
+    # restore in THIS process (single-process virtual 8-device mesh)
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_supernovae_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
+    from multimodal_supernovae_tpu.training.checkpoint import CheckpointManager
+    from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
+
+    seq = {"n_out": 8, "emb": 8, "heads": 2, "depth": 1, "time_norm": 1000.0,
+           "agg": "mean", "dropout": 0.0}
+    cfg = CLIPConfig.create(
+        combinations=("lightcurve", "spectral"), enc_dim=8, nband=2,
+        loss="softmax", transformer_kwargs=seq, transformer_spectral_kwargs=seq,
+        use_pallas=False,
+    )
+    ds = make_synthetic_dataset(n=64, n_max_lc=8, n_max_sp=8, seed=0)
+    trainer = Trainer(CLIPModel(cfg), task="contrastive",
+                      cfg=TrainerConfig(epochs=2, batch_size=16, lr=3e-3,
+                                        seed=0, noise_level_mag=1.0))
+    state = trainer.init_state(ds.to_device().take(jnp.arange(16)))
+    ckpts = CheckpointManager(run_dir)
+    restored = ckpts.try_restore_last(state)
+    assert restored is not None
+    state2, epoch = restored
+    assert epoch == 1  # last of 2 epochs (0-indexed)
+    # restored params differ from the fresh init (training happened)
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(state2.params))
+    ]
+    assert max(diffs) > 1e-6
 
 
 @pytest.mark.slow
