@@ -21,9 +21,11 @@ STEPS = 16
 SCANS = 3
 
 
-def timed_scan(fn, init, xs):
+def timed_scan(fn, init, xs, steps=None):
     """fn: (carry, x) -> (carry, out_scalarish). Returns per-step seconds."""
     import jax
+
+    steps = steps or STEPS
 
     @jax.jit
     def run(init, xs):
@@ -37,7 +39,7 @@ def timed_scan(fn, init, xs):
         carry, out = run(init, xs)
         _sync(out)
         times.append(time.perf_counter() - t0)
-    return min(times) / STEPS
+    return min(times) / steps
 
 
 def _sync(tree):
@@ -96,15 +98,16 @@ def main():
         a = jnp.ones((m, k), jnp.bfloat16)
         b = jnp.ones((k, n), jnp.bfloat16)
 
-        # thread the carry through a NONLINEARITY into the matmul: matmul is
-        # linear, so any affine carry-dependence gets factored out and the
-        # matmul hoisted as loop-invariant (v1 and v2 of this script timed
-        # pure dispatch that way)
+        # Two traps fixed the hard way: (1) affine carry-dependence gets
+        # factored out of the (linear) matmul and the dot hoisted as
+        # loop-invariant, so the carry threads through a nonlinearity;
+        # (2) a 16-step scan's ~28 ms tunnel RTT floor swamps a ~50 us
+        # matmul, so the calibration scans 512 steps.
         def mm(carry, _, a=a, b=b):
             out = jnp.maximum(a, carry) @ b
             return out[0, 0].astype(jnp.float32) * 1e-9, out.sum()
 
-        sec = timed_scan(mm, jnp.float32(0.0), jnp.arange(STEPS))
+        sec = timed_scan(mm, jnp.float32(0.0), jnp.arange(512), steps=512)
         results[name] = {"us": round(sec * 1e6, 1),
                          "tflops": round(2 * m * k * n / sec / 1e12, 2)}
         print(name, results[name], flush=True)
