@@ -50,6 +50,32 @@ def _load():
     return _lib
 
 
+def ensure_built(timeout: float = 120.0) -> bool:
+    """Build ``libfastcsv.so`` in place (``make``) when it is missing and a
+    C++ toolchain exists; returns whether the library is now loadable.
+
+    Idempotent and safe to call from test harnesses — the ingest path
+    otherwise silently falls back to pandas forever, leaving a shipped
+    component dark (round-2 review, Missing #4)."""
+    if os.path.exists(_LIB_PATH):
+        return True
+    import shutil
+    import subprocess
+
+    if shutil.which(os.environ.get("CXX", "g++")) is None:
+        return False
+    if shutil.which("make") is None:
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(__file__)],
+            check=True, capture_output=True, timeout=timeout,
+        )
+    except (subprocess.SubprocessError, OSError):
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
 def available() -> bool:
     return _load() is not None
 

@@ -137,9 +137,12 @@ class TransformerBlock(nn.Module):
     ``norm2(ff(x) + x)`` -> dropout, with a ReLU MLP of width
     ``ff_hidden_mult * emb`` (src/transformer_utils.py:92-116).
 
-    On TPU with inactive dropout the whole block runs as ONE fused Pallas
+    On TPU with inactive dropout the whole block can run as ONE fused Pallas
     kernel (ops/fused_block.py) — same math, same params, ~15x less HBM
-    traffic; ``use_pallas=False`` or active dropout take the unfused path.
+    traffic. The fused path has its own opt-in (``use_fused_block`` /
+    ``MMSN_FUSED_BLOCK=1``); ``use_pallas`` only selects the ATTENTION
+    dispatch (flash kernel vs dense XLA), so benchmarks that force
+    ``use_pallas=True`` measure flash attention, not the fused block.
     """
 
     emb: int
@@ -147,6 +150,7 @@ class TransformerBlock(nn.Module):
     ff_hidden_mult: int = 4
     dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    use_fused_block: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -156,20 +160,18 @@ class TransformerBlock(nn.Module):
         import os
 
         # The fused block kernel is OPT-IN (MMSN_FUSED_BLOCK=1 or explicit
-        # use_pallas=True): measured on v5e at the reference's shapes it
+        # use_fused_block=True): measured on v5e at the reference's shapes it
         # LOSES ~4 ms/step to the XLA lowering (benchmarks r2, README perf
         # notes) — the model is too small for the kernel's per-program
         # overhead to amortise. Kept, tested and documented for larger
         # encoder configs where the traffic saving wins.
-        use_fused = self.use_pallas
+        use_fused = self.use_fused_block
         if use_fused is None:
             use_fused = os.environ.get("MMSN_FUSED_BLOCK") == "1"
-        elif os.environ.get("MMSN_FUSED_BLOCK") == "0":
-            use_fused = False
         if (
             use_fused
             and self.dropout == 0.0
-            and _fused.supports(x.shape[1], self.emb, self.heads)
+            and _fused.supports(self.emb, self.heads, self.ff_hidden_mult)
         ):
             wq, wk, wv, wu, bu = _AttnParams(self.emb, name="attention")()
             g1, b1 = _LNParams(self.emb, name="norm1")()
@@ -224,6 +226,7 @@ class Transformer(nn.Module):
     ff_hidden_mult: int = 4
     dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    use_fused_block: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
     remat: Optional[bool] = None
 
@@ -249,6 +252,7 @@ class Transformer(nn.Module):
                 self.ff_hidden_mult,
                 self.dropout,
                 use_pallas=self.use_pallas,
+                use_fused_block=self.use_fused_block,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, mask, train)
@@ -308,6 +312,7 @@ class SequenceEncoder(nn.Module):
     agg: str = "mean"
     time_norm: float = 10000.0
     use_pallas: Optional[bool] = None
+    use_fused_block: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -338,6 +343,7 @@ class SequenceEncoder(nn.Module):
             self.ff_hidden_mult,
             self.dropout,
             use_pallas=self.use_pallas,
+            use_fused_block=self.use_fused_block,
             dtype=self.dtype,
             name="transformer",
         )(h, mask, train)

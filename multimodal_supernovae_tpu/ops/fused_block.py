@@ -261,14 +261,15 @@ def fused_ffn_block(att, x, wu, bu, g1, b1, wf1, bf1, wf2, bf2, g2, b2,
     return out[:n]
 
 
-def supports(t: int, e: int, heads: int) -> bool:
+def supports(e: int, heads: int, ff_hidden_mult: int = 4) -> bool:
     """The fused path needs flash-compatible heads (sublane-multiple head
     dim), a feature dim that at least half-fills the 128 lanes (below E=64
     the tile padding makes the kernel LOSE to XLA — measured on v5e), and
-    row tiles within VMEM (4*E*F caps the FF weight residency)."""
+    row tiles within VMEM (the FF weight residency scales with the block's
+    REAL hidden width ``ff_hidden_mult * e``, not an assumed 4x)."""
     if e % heads or (e // heads) % 8 or e < 64:
         return False
-    f = 4 * e
+    f = ff_hidden_mult * e
     # row tile + weights comfortably under VMEM
     return (ROW_TILE * (2 * e + f) * 4 + 2 * e * f * 4) < 12 * 1024 * 1024
 

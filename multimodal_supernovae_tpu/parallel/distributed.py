@@ -187,9 +187,13 @@ def mesh_from_args(args) -> Optional[Mesh]:
 
 def fetch_global_scalar(x: jax.Array) -> float:
     """Execution barrier + value readback that works for multi-host arrays:
-    fully-replicated or single-scalar outputs are addressable everywhere."""
+    fully-replicated or single-scalar outputs are addressable everywhere.
+
+    ``process_allgather`` stacks a leading process dimension; a replicated
+    value therefore comes back N times, so the readback takes process 0's
+    copy before reducing (ADVICE r2)."""
     from jax.experimental import multihost_utils
 
     if jax.process_count() > 1 and not x.is_fully_addressable:
-        x = multihost_utils.process_allgather(x)
+        x = multihost_utils.process_allgather(x)[0]
     return float(np.asarray(x).sum())

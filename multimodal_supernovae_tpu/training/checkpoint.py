@@ -134,7 +134,26 @@ class CheckpointManager:
         if epoch is None:
             epoch = mgr.best_step() if which == "best" else mgr.latest_step()
         template = self._state_dict(state)
-        restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+        try:
+            restored = mgr.restore(
+                epoch, args=ocp.args.StandardRestore(template)
+            )
+        except (ValueError, KeyError) as e:
+            # FORMAT BREAK (round 2): unfrozen runs now wrap the optimizer in
+            # ``optax.flatten`` (training/optim.py), so opt_state is a single
+            # concatenated vector instead of per-leaf RAdam moments.
+            # Checkpoints written before that change (or with a different
+            # freeze partition) have a different opt_state tree and cannot
+            # resume in place — surface the cause instead of orbax's raw
+            # structure diff.
+            raise RuntimeError(
+                f"checkpoint at epoch {epoch} does not match the current "
+                "TrainState structure. Likely causes: it predates the "
+                "optax.flatten optimizer-state format (round 2) or was saved "
+                "with a different freeze partition. Params remain portable: "
+                "restore them with models.factory/load_params and start a "
+                "fresh optimizer instead of resume=True."
+            ) from e
         return state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

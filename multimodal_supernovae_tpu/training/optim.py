@@ -77,6 +77,13 @@ def build_optimizer(
         # B=256 — benchmarks/ablate_results.json); flattening makes the
         # update a handful of fused full-vector ops. Exactly
         # semantics-preserving for elementwise transforms.
+        #
+        # CHECKPOINT FORMAT NOTE: flattening changes the opt_state pytree, so
+        # checkpoints saved before this change (per-leaf RAdam state) cannot
+        # resume in place; frozen (multi_transform) runs keep per-leaf state
+        # (optax.flatten cannot see through MaskedNode placeholders), so the
+        # two branches intentionally produce different opt_state structures.
+        # CheckpointManager.restore reports this break explicitly.
         tx = optax.flatten(tx)
     return tx
 

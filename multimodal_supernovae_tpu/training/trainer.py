@@ -62,6 +62,22 @@ class TrainerConfig:
     eval_every_epochs: int = 1
 
 
+def _fit_end_barrier() -> None:
+    """Cross-process sync before ``fit`` returns in multi-host runs.
+
+    Process 0 does strictly more exit work than the others (orbax
+    wait/close plus sidecar/metric/summary writes). Without a barrier a
+    fast rank can reach interpreter exit — tearing down the coordination
+    service — while rank 0 still writes, which surfaces as a
+    shutdown-barrier DEADLINE_EXCEEDED on a loaded host (observed in the
+    round-2 review on tests/test_multiprocess.py::test_two_process_
+    checkpointing). Single-process runs skip it entirely."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mmsn:fit_end")
+
+
 class Trainer:
     """Config-driven trainer for any module exposing the uniform
     ``loss_fn(batch, train, key, gather_axis)`` interface."""
@@ -306,6 +322,7 @@ class Trainer:
             logger.close()
         if ckpts:
             ckpts.close()
+        _fit_end_barrier()
         return result
 
     # -- sharded (streaming) fit ----------------------------------------------
@@ -440,6 +457,7 @@ class Trainer:
             ckpts.close()
         if logger:
             logger.close()
+        _fit_end_barrier()
         return result
 
     # -- task metrics --------------------------------------------------------

@@ -32,3 +32,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def build_native_lib():
+    """Build libfastcsv.so once per session when a toolchain exists, so the
+    native ingest path is exercised by default instead of silently skipping
+    (round-2 review, Missing #4)."""
+    from multimodal_supernovae_tpu.data import native
+
+    native.ensure_built()

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--n-model", type=int, default=1)
     ap.add_argument("--run-dir", default=None,
                     help="exercise multi-host checkpointing/sidecars")
+    ap.add_argument("--exit-skew", type=float, default=0.0,
+                    help="seconds process 0 stalls in its post-fit checkpoint "
+                         "close — reproduces the exit-skew hazard where a "
+                         "fast rank reaches interpreter exit while rank 0 "
+                         "still writes (round-2 DEADLINE_EXCEEDED flake)")
     args = ap.parse_args()
 
     jax.config.update("jax_num_cpu_devices", args.local_devices)
@@ -46,6 +51,23 @@ def main():
     from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
 
     mesh = distributed.make_global_mesh(n_model=args.n_model)
+
+    if args.exit_skew > 0 and jax.process_index() == 0:
+        # Inject skew INSIDE fit's exit sequence, before the fit_end barrier:
+        # rank 0 stalls in CheckpointManager.close while other ranks finish
+        # instantly. Without trainer._fit_end_barrier the fast rank tears
+        # down the coordination service mid-write.
+        import time as _time
+
+        from multimodal_supernovae_tpu.training import trainer as trainer_mod
+
+        real_close = trainer_mod.CheckpointManager.close
+
+        def slow_close(self):
+            _time.sleep(args.exit_skew)
+            real_close(self)
+
+        trainer_mod.CheckpointManager.close = slow_close
 
     seq = {"n_out": 8, "emb": 8, "heads": 2, "depth": 1, "time_norm": 1000.0,
            "agg": "mean", "dropout": 0.0}

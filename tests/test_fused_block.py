@@ -58,10 +58,14 @@ def setup():
 
 
 def test_supports():
-    assert supports(200, 64, 8)
-    assert not supports(220, 32, 2)  # E=32: lane padding loses to XLA
-    assert not supports(200, 60, 6)  # head dim 10: not a sublane multiple
-    assert not supports(4096, 512, 4)  # beyond the VMEM budget
+    assert supports(64, 8)
+    assert not supports(32, 2)  # E=32: lane padding loses to XLA
+    assert not supports(60, 6)  # head dim 10: not a sublane multiple
+    assert not supports(512, 4)  # beyond the VMEM budget
+    # the VMEM estimate must use the block's REAL hidden width:
+    # E=256 fits at the default 4x but not at 16x (ADVICE r2)
+    assert supports(256, 4, ff_hidden_mult=4)
+    assert not supports(256, 4, ff_hidden_mult=16)
 
 
 def test_forward_matches_unfused(setup):
@@ -114,8 +118,10 @@ def test_gradients_match_unfused(setup):
 
 
 def test_encoder_fused_matches_unfused():
-    """SequenceEncoder(use_pallas=True) routes blocks through the fused
-    kernel with an IDENTICAL param tree — same init, same outputs."""
+    """SequenceEncoder(use_fused_block=True) routes blocks through the fused
+    kernel with an IDENTICAL param tree — same init, same outputs.
+    ``use_pallas`` no longer opts into the fused block (ADVICE r2): it only
+    selects the attention dispatch."""
     from multimodal_supernovae_tpu.models import SequenceEncoder
 
     rng = np.random.default_rng(2)
@@ -126,7 +132,7 @@ def test_encoder_fused_matches_unfused():
     enc_u = SequenceEncoder(n_out=4, emb=64, heads=8, depth=2, agg="attn",
                             use_pallas=False)
     enc_f = SequenceEncoder(n_out=4, emb=64, heads=8, depth=2, agg="attn",
-                            use_pallas=True)
+                            use_pallas=False, use_fused_block=True)
     params_u = enc_u.init(jax.random.PRNGKey(0), x, t, mask)
     with pltpu.force_tpu_interpret_mode():
         params_f = enc_f.init(jax.random.PRNGKey(0), x, t, mask)
@@ -140,6 +146,36 @@ def test_encoder_fused_matches_unfused():
     out_u = enc_u.apply(params_u, x, t, mask)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_use_pallas_does_not_select_fused_block(monkeypatch):
+    """``use_pallas=True`` historically ALSO opted into the fused-block
+    kernel, so benchmarks forcing flash attention silently measured the
+    fused path (ADVICE r2, medium). Pin the decoupling: only
+    ``use_fused_block``/MMSN_FUSED_BLOCK may route here."""
+    from multimodal_supernovae_tpu.ops import fused_block as fb
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(3, 48, 64)), jnp.float32)
+    mask = jnp.asarray(rng.random((3, 48)) > 0.2)
+    # heads=2: B*H=6 fails the flash sublane gate, so use_pallas=True falls
+    # back to dense attention on CPU — but the fused-block supports() gate
+    # (E=64, head dim 32) would still pass.
+    block = TransformerBlock(emb=64, heads=2, use_pallas=True)
+    params = TransformerBlock(emb=64, heads=2, use_pallas=False).init(
+        jax.random.PRNGKey(0), x, mask
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("fused block selected by use_pallas=True")
+
+    monkeypatch.delenv("MMSN_FUSED_BLOCK", raising=False)
+    monkeypatch.setattr(fb, "fused_transformer_block", boom)
+    block.apply(params, x, mask)  # must take the unfused path
+
+    monkeypatch.setenv("MMSN_FUSED_BLOCK", "1")
+    with pytest.raises(AssertionError, match="fused block selected"):
+        TransformerBlock(emb=64, heads=2).apply(params, x, mask)
 
 
 def test_bf16_close_to_f32(setup):

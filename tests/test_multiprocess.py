@@ -32,7 +32,7 @@ def _free_port() -> int:
 
 
 def _run_workers(n_proc: int, local_devices: int, n_model: int = 1,
-                 epochs: int = 2, run_dir: str = None):
+                 epochs: int = 2, run_dir: str = None, exit_skew: float = 0.0):
     port = _free_port()
     procs = []
     for pid in range(n_proc):
@@ -49,6 +49,8 @@ def _run_workers(n_proc: int, local_devices: int, n_model: int = 1,
                "--epochs", str(epochs), "--n-model", str(n_model)]
         if run_dir:
             cmd += ["--run-dir", run_dir]
+        if exit_skew:
+            cmd += ["--exit-skew", str(exit_skew)]
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
@@ -130,6 +132,23 @@ def test_two_process_checkpointing(tmp_path):
                         jax.tree_util.tree_leaves(state2.params))
     ]
     assert max(diffs) > 1e-6
+
+
+@pytest.mark.slow
+def test_two_process_exit_skew(tmp_path):
+    """Regression for the round-2 shutdown-barrier DEADLINE_EXCEEDED flake:
+    rank 0 stalls several seconds in its post-fit checkpoint close (the
+    shared-FS write path on a real pod) while rank 1 finishes instantly.
+    trainer._fit_end_barrier must hold rank 1 until rank 0's writes are
+    done, so BOTH workers exit 0 instead of rank 0 dying when rank 1 tears
+    down the coordination service at interpreter exit."""
+    run_dir = str(tmp_path / "run")
+    multi = _run_workers(n_proc=2, local_devices=2, epochs=1,
+                         run_dir=run_dir, exit_skew=6.0)
+    assert all(r["n_processes"] == 2 for r in multi)
+    np.testing.assert_array_equal(multi[0]["train_loss"],
+                                  multi[1]["train_loss"])
+    assert os.path.exists(os.path.join(run_dir, "config.yaml"))
 
 
 @pytest.mark.slow
