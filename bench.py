@@ -6,10 +6,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "paired_samples/s/chip",
    "vs_baseline": ratio}
 
-``vs_baseline`` compares against BASELINE_MEASURED.json (the torch-CPU
-reimplementation of the reference hot path, benchmarks/baseline_torch.py) —
-the reference publishes no throughput numbers and its stack cannot run in
-this image (BASELINE.md).
+The headline ``value`` is the ABSOLUTE per-chip throughput; ``detail``
+carries ``pct_of_floor`` against the architecture's analytic device floor
+(benchmarks/PERF.md) — the defensible efficiency number. ``vs_baseline``
+(driver contract) compares against BASELINE_MEASURED.json, a torch-CPU
+stand-in measured on ONE host core: treat it as a sanity ratio, not a
+GPU-vs-TPU claim (the reference publishes no throughput numbers and its
+stack cannot run in this image — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -23,9 +26,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Architecture floor at the maven-lite shapes (benchmarks/PERF.md round-2
+# analysis): ~8.4 ms irreducible attention + ~4 ms non-attention work.
+FLOOR_STEP_MS_B256 = 12.5
 
-def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
-         dtype: str = None) -> None:
+
+def build_setup(batch: int = 256, dtype: str = None, steps_per_scan: int = 64,
+                seed: int = 0):
+    """Build the bench train step: model, state, device data and a tiled
+    epoch plan. Shared by bench.py and benchmarks/trace_attrib.py so traces
+    measure EXACTLY the headline step."""
     import jax
     import jax.numpy as jnp
 
@@ -34,10 +44,8 @@ def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
     from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
     from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
     from multimodal_supernovae_tpu.training.step import make_epoch_runner
-    from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu
 
     dtype = dtype or os.environ.get("MMSN_BENCH_DTYPE", "bfloat16")
-    n_chips = len(jax.devices())
     # maven-lite hyperparameters, real ZTF shapes
     seq_lc = {"n_out": 32, "emb": 64, "heads": 8, "depth": 5,
               "time_norm": 20583.37, "agg": "attn", "dropout": 0.0}
@@ -55,7 +63,7 @@ def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
 
     trainer = Trainer(
         model, task="contrastive",
-        cfg=TrainerConfig(epochs=1, batch_size=batch, lr=5e-4, seed=0,
+        cfg=TrainerConfig(epochs=1, batch_size=batch, lr=5e-4, seed=seed,
                           noise_level_mag=1.0),
         run_dir=None,
     )
@@ -63,14 +71,31 @@ def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
     state = trainer.init_state(data.take(jnp.arange(batch)))
     run_epoch = make_epoch_runner(model, noise_level_mag=1.0, donate=False)
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     plan = epoch_indices(len(ds), batch, rng=rng, shuffle=True, pad="drop")
     if plan.shape[0] < steps_per_scan:  # tile: amortise the ~28 ms tunnel
         reps = -(-steps_per_scan // plan.shape[0])  # RTT over enough steps
         plan = np.concatenate([plan] * reps, axis=0)
     plan = jnp.asarray(plan[:steps_per_scan])
-    n_steps = plan.shape[0]
     key = jax.random.PRNGKey(0)
+    return {"model": model, "cfg": cfg, "state": state, "data": data,
+            "plan": plan, "key": key, "dtype": dtype, "batch": batch}
+
+
+def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
+         dtype: str = None) -> None:
+    import jax
+
+    from multimodal_supernovae_tpu.training.step import make_epoch_runner
+    from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu
+
+    n_chips = len(jax.devices())
+    setup = build_setup(batch, dtype, steps_per_scan)
+    state, data, plan, key = (setup["state"], setup["data"], setup["plan"],
+                              setup["key"])
+    run_epoch = make_epoch_runner(setup["model"], noise_level_mag=1.0,
+                                  donate=False)
+    n_steps = plan.shape[0]
 
     # compile + warmup. NOTE: sync via a VALUE FETCH, not block_until_ready —
     # on the tunneled axon backend block_until_ready returns before the
@@ -97,14 +122,21 @@ def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
             base = json.load(f)
         vs = per_chip / base["paired_samples_per_sec"]
         base_note = (
-            f"torch-CPU stand-in on {base.get('host_cpus', '?')} host core(s); "
-            "see BASELINE_MEASURED.json caveat — absolute samples/s and MFU "
-            "are the defensible headline"
+            f"x{round(vs, 1)} is vs a torch-CPU stand-in on "
+            f"{base.get('host_cpus', '?')} host core(s) "
+            "(BASELINE_MEASURED.json) — NOT a GPU baseline; absolute "
+            "samples/s + pct_of_floor + MFU are the defensible headline"
         )
 
     # MFU: analytic matmul FLOPs (slight lower bound) vs chip dense peak
+    cfg = setup["cfg"]
     step_flops = clip_train_step_flops(cfg, batch, t_lc=200, t_sp=220)
     eff = mfu(step_flops, step_time, n_chips)
+    # floor: the per-sample device floor derived at B=256
+    # (benchmarks/PERF.md). Per-sample work is ~linear in B at these shapes,
+    # so the THROUGHPUT floor (samples/s) is batch-independent.
+    floor_samples_per_s = 256 / (FLOOR_STEP_MS_B256 * 1e-3)
+    pct_of_floor = 100.0 * per_chip / floor_samples_per_s
 
     print(json.dumps({
         "metric": "contrastive_pretrain_throughput",
@@ -113,14 +145,22 @@ def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
         "vs_baseline": round(vs, 1) if vs is not None else None,
         "detail": {
             "batch": batch,
-            "compute_dtype": dtype,
+            "compute_dtype": setup["dtype"],
             "step_time_ms": round(step_time * 1e3, 2),
+            "pct_of_floor": round(pct_of_floor, 1),
+            "floor_note": (
+                f"vs the ~{round(floor_samples_per_s)} samples/s/chip "
+                "architecture floor (B=256 analysis, benchmarks/PERF.md; "
+                "per-sample work is linear in batch)"
+            ),
             "n_chips": n_chips,
             "backend": jax.default_backend(),
             "final_loss": float(losses[-1]),
             "model_tflops_per_s": round(eff["model_tflops_per_s"], 2),
             "mfu_pct": round(eff["mfu_pct"], 2),
             "peak_tflops_per_s": eff["peak_tflops_per_s"],
+            "harness": {"steps_per_scan": int(n_steps), "scans": scans,
+                        "sync": "value-fetch"},
             "baseline_note": base_note,
         },
     }))

@@ -1,0 +1,183 @@
+"""Sustained-throughput benchmark for the sharded streaming path.
+
+Builds a synthetic sharded cache LARGER THAN HBM (default ~17 GB vs the
+v5e's 16 GB), then trains one epoch with exactly the components
+``Trainer.fit_sharded`` uses — ``shard_epoch_schedule`` -> ``load_shard``
+(mmap) -> host->HBM placement -> the jitted epoch scan per shard — timing
+each phase separately so the shard-swap overhead is explicit. Compares
+against the in-memory path on one shard-sized dataset (equal data, no
+swapping) for the apples-to-apples per-sample cost.
+
+It replaces the reference's per-item HDF5 streaming
+(src/dataloader.py:1037-1229: re-open + re-preprocess ONE transient per
+``__getitem__`` every epoch) with once-ever vectorized preprocessing and
+shard-granular IO.
+
+Usage: python benchmarks/bench_streaming.py [--shards N] [--rows-per-shard R]
+       (defaults: 24 x 131072 rows ~= 17 GB)
+Writes benchmarks/streaming_results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+T_LC, T_SP = 200, 220
+
+
+def synth_chunks(n_rows: int, chunk: int, seed: int = 0):
+    """Vectorized canonical-field chunks at bench shapes (~5.6 KB/row).
+    Python-loop-free: 3M+ rows generate in seconds."""
+    rng = np.random.default_rng(seed)
+    done = 0
+    while done < n_rows:
+        b = min(chunk, n_rows - done)
+        n_obs = rng.integers(T_LC // 4, T_LC // 2 + 1, size=(b, 2))
+        pos = np.arange(T_LC // 2)[None, None, :]
+        mask2 = (pos < n_obs[:, :, None])
+        mask_lc = mask2.reshape(b, T_LC)
+        yield {
+            "x_lc": (rng.standard_normal((b, T_LC)).astype(np.float32)
+                     * mask_lc),
+            "t_lc": (np.tile(np.arange(T_LC // 2, dtype=np.float32), (b, 2))
+                     .reshape(b, T_LC) * mask_lc),
+            "mask_lc": mask_lc,
+            "err_lc": 0.05 * np.abs(
+                rng.standard_normal((b, T_LC)).astype(np.float32)),
+            "x_sp": rng.standard_normal((b, T_SP)).astype(np.float32),
+            "t_sp": np.tile(np.linspace(3000, 9000, T_SP, dtype=np.float32),
+                            (b, 1)),
+            "mask_sp": np.ones((b, T_SP), bool),
+            "err_sp": 0.02 * np.abs(
+                rng.standard_normal((b, T_SP)).astype(np.float32)),
+            "redshift": rng.random(b).astype(np.float32),
+            "label": rng.integers(0, 5, b).astype(np.int32),
+        }
+        done += b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", type=int, default=24)
+    ap.add_argument("--rows-per-shard", type=int, default=131072)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--cache-dir", default="/tmp/mmsn_stream_bench")
+    ap.add_argument("--keep-cache", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_supernovae_tpu.data.streaming import (
+        ShardedDataset,
+        shard_epoch_schedule,
+        write_sharded_cache,
+    )
+    from multimodal_supernovae_tpu.training.step import make_epoch_runner
+    from bench import build_setup
+
+    n_rows = args.shards * args.rows_per_shard
+    row_bytes = 5616  # canonical fields at T_LC=200, T_SP=220
+    print(f"corpus: {args.shards} shards x {args.rows_per_shard} rows "
+          f"~= {n_rows * row_bytes / 1e9:.1f} GB", flush=True)
+
+    t0 = time.time()
+    if not os.path.exists(os.path.join(args.cache_dir, "stream_manifest.json")):
+        shutil.rmtree(args.cache_dir, ignore_errors=True)
+        write_sharded_cache(
+            args.cache_dir, synth_chunks(n_rows, args.rows_per_shard),
+            args.rows_per_shard,
+        )
+    ingest_s = time.time() - t0
+    sds = ShardedDataset(args.cache_dir)
+
+    # model/state identical to the headline bench
+    setup = build_setup(args.batch, steps_per_scan=64)
+    run_epoch = make_epoch_runner(setup["model"], noise_level_mag=1.0,
+                                  donate=False)
+    state, key = setup["state"], setup["key"]
+
+    # warm-up compile on shard 0 (shapes are identical across shards)
+    rng = np.random.default_rng(0)
+    schedule = shard_epoch_schedule(sds, args.batch, rng)
+    si0, plan0 = schedule[0]
+    d0 = sds.load_shard(si0).to_device()
+    state, losses = run_epoch(state, d0, jnp.asarray(plan0), key)
+    float(losses.sum())
+    del d0
+
+    # Double-buffered pipeline (same structure as Trainer.fit_sharded):
+    # dispatch the scan over shard i, upload shard i+1 while it runs, then
+    # sync shard i's losses. ``place_s`` counts the host-side blocking part
+    # of the NEXT upload; overlap shows up as wall < place + compute.
+    load_s = place_s = compute_s = 0.0
+    n_samples = 0
+    t_epoch = time.time()
+    d = sds.load_shard(schedule[0][0]).to_device()
+    for idx, (si, plan) in enumerate(schedule):
+        t1 = time.time()
+        state, losses = run_epoch(state, d, jnp.asarray(plan), key)  # async
+        t2 = time.time()
+        d_next = None
+        if idx + 1 < len(schedule):
+            shard = sds.load_shard(schedule[idx + 1][0])  # mmap'd npy
+            d_next = shard.to_device()  # overlaps the running scan
+        t3 = time.time()
+        float(losses.sum())  # barrier for shard i's compute
+        t4 = time.time()
+        place_s += t3 - t2
+        compute_s += (t2 - t1) + (t4 - t3)
+        n_samples += plan.size
+        d = d_next
+    wall = time.time() - t_epoch
+
+    sustained = n_samples / wall
+    swap_overhead_pct = 100.0 * max(0.0, wall - compute_s) / wall
+
+    # in-memory comparison: same jitted step over one shard-sized dataset
+    d0 = sds.load_shard(0).to_device()
+    plan = jnp.asarray(schedule[0][1][:64])
+    state, losses = run_epoch(state, d0, plan, key)
+    float(losses.sum())
+    t5 = time.time()
+    state, losses = run_epoch(state, d0, plan, key)
+    float(losses.sum())
+    inmem = (64 * args.batch) / (time.time() - t5)
+
+    out = {
+        "corpus_gb": round(n_rows * row_bytes / 1e9, 2),
+        "n_shards": args.shards,
+        "rows_per_shard": args.rows_per_shard,
+        "batch": args.batch,
+        "ingest_s": round(ingest_s, 1),
+        "epoch_wall_s": round(wall, 1),
+        "sustained_samples_per_s": round(sustained),
+        "in_memory_samples_per_s": round(inmem),
+        "streaming_efficiency_pct": round(100.0 * sustained / inmem, 1),
+        "shard_swap_overhead_pct": round(swap_overhead_pct, 1),
+        "host_upload_block_s_per_epoch": round(place_s, 2),
+        "compute_s_per_epoch": round(compute_s, 2),
+        "harness": {"sync": "value-fetch", "round": "r3",
+                    "pipeline": "double-buffered (next shard uploads while "
+                                "the current scan runs)",
+                    "note": "same components Trainer.fit_sharded drives"},
+    }
+    path = os.path.join(os.path.dirname(__file__), "streaming_results.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    if not args.keep_cache:
+        shutil.rmtree(args.cache_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

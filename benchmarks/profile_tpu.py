@@ -63,13 +63,18 @@ def main():
 
     bi = ("lightcurve", "spectral")
     tri = ("host_galaxy", "lightcurve", "spectral")
+    quad = ("host_galaxy", "lightcurve", "spectral", "meta")
     bf16 = dict(use_pallas=True, compute_dtype="bfloat16")
     variants = [
         ("flash_b256_bf16", bf16, 256, bi),
         ("flash_b256_bf16_fwdonly", bf16, 256, bi),
         ("flash_b512_bf16", bf16, 512, bi),
+        ("flash_b1024_bf16", bf16, 1024, bi),
         ("flash_b256_f32", dict(use_pallas=True), 256, bi),
         ("flash_trimodal_b256_bf16", bf16, 256, tri),
+        # the reference's full 4-modality path (AUC_val{1..6},
+        # models_multimodal.py:527-556) exercised on the real chip
+        ("flash_quadrimodal_b256_bf16", bf16, 256, quad),
     ]
     if args.quick:
         variants = variants[:2]
@@ -86,11 +91,13 @@ def main():
             os.environ.pop("MMSN_FLASH_VMEM_BUDGET", None)
         conv = {"dim": 32, "depth": 8, "kernel_size": 5, "patch_size": 10,
                 "n_out": 32, "dropout_prob": 0.0}
+        meta = {"input_dim": 128, "hidden_dim": 128, "num_layers": 2,
+                "dropout_prob": 0.0}  # the reference's meta-encoder defaults
         cfg = CLIPConfig.create(
             combinations=combos, enc_dim=32, nband=2, logit_scale_init=19.55,
             loss="softmax",
             transformer_kwargs=seq_lc, transformer_spectral_kwargs=seq_sp,
-            conv_kwargs=conv,
+            conv_kwargs=conv, meta_kwargs=meta,
             **extra_cfg,
         )
         model = CLIPModel(cfg)
@@ -111,10 +118,12 @@ def main():
         else:
             run_epoch = make_epoch_runner(model, noise_level_img=1.0,
                                           noise_level_mag=1.0, donate=False)
-        # Fixed 16-step plan regardless of batch/dataset size: random row
-        # gathers are perf-equivalent to a shuffled epoch, and >=16 steps per
-        # scan amortise the tunnel's ~30 ms readback RTT out of the timing.
-        steps = 16
+        # Fixed 64-step plan regardless of batch/dataset size: random row
+        # gathers are perf-equivalent to a shuffled epoch, and 64 steps per
+        # scan amortise the tunnel's ~30 ms readback RTT to <0.5 ms/step
+        # (the r1/r2 16-step harness carried ~1.8 ms/step of phantom
+        # overhead — every entry is stamped with its harness).
+        steps = 64
         plan = jnp.asarray(rng.integers(0, n_rows, size=(steps, batch)))
         t0 = time.perf_counter()
         try:
@@ -129,6 +138,8 @@ def main():
             "samples_per_s": round(batch / step_time),
             "compile_s": round(time.perf_counter() - t0, 1),
             "loss": round(last_loss, 4),
+            "harness": {"steps_per_scan": steps, "scans": 3,
+                        "sync": "value-fetch", "round": "r3"},
         }
         print(name, results[name], flush=True)
 

@@ -58,6 +58,21 @@ def _batched_dot(a, b, contract_a, contract_b):
     )
 
 
+def _apply_mask(scores, mask_ref):
+    """Fill padded-key scores with MASK_FILL (select formulation).
+
+    The 'fold the fill into the score-dot epilogue as an additive f32 bias
+    row' candidate (round-2 notes) was built and REJECTED in r3: the
+    (NB, 1, T) f32 bias broadcast-add fails to lower on v5e Mosaic
+    (vector_extract_slice layout check crash), and the additive form also
+    changes fully-masked-row semantics (adding -1e7 preserves raw score
+    differences, so such rows would no longer get the reference's uniform
+    weights). Inside the kernel both forms are a single VPU pass over the
+    score tile anyway — there is no separate epilogue to save
+    (benchmarks/PERF.md r3)."""
+    return jnp.where(mask_ref[...][:, None, :], scores, MASK_FILL)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
     # blocks: q (NB, S, TQ); k, v (NB, S, T); mask (NB, T)
     # Dots keep the INPUT dtype with f32 accumulation: bf16 operands run the
@@ -66,7 +81,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
     q = q_ref[...] * scale
     k = k_ref[...] * scale
     scores = _batched_dot(q, k, 1, 1)  # (NB, TQ, T) f32
-    scores = jnp.where(mask_ref[...][:, None, :], scores, MASK_FILL)
+    scores = _apply_mask(scores, mask_ref)
     probs = jax.nn.softmax(scores, axis=-1)
     # out^T = v @ P^T -> (NB, S, TQ)
     out = _batched_dot(v_ref[...], probs.astype(v_ref.dtype), 2, 2)
@@ -84,7 +99,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
     c2 = scale * scale
 
     scores = _batched_dot(q * scale, k * scale, 1, 1)  # (NB, TQ, T) f32
-    scores = jnp.where(mask_ref[...][:, None, :], scores, MASK_FILL)
+    scores = _apply_mask(scores, mask_ref)
     probs = jax.nn.softmax(scores, axis=-1)
 
     dprobs = _batched_dot(g, v, 1, 1)  # (NB, TQ, T) f32
@@ -201,12 +216,18 @@ def _flash_bwd(emb, tq, residuals, g):
     scale = float(emb) ** -0.25
     nb = _choose_nb(bh, t, tq, budget_scale=0.5)
     grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
+    # dk/dv accumulate across q-tiles, so they need f32 outputs ONLY when
+    # the grid revisits them (t > tq). At the reference's sequence lengths
+    # there is exactly one q-tile, and emitting bf16 directly saves a
+    # whole-tensor convert pass after the kernel (traced at 78 MB / 150 us
+    # per LC bwd call at B=1024 — benchmarks/trace_attrib.py r3).
+    acc_dtype = jnp.float32 if (t // tq) > 1 else kt.dtype
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct(qt.shape, qt.dtype),
-            jax.ShapeDtypeStruct(kt.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vt.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kt.shape, acc_dtype),
+            jax.ShapeDtypeStruct(vt.shape, acc_dtype),
         ),
         grid=grid,
         in_specs=[qspec, kvspec, kvspec, mspec, qspec],

@@ -396,12 +396,24 @@ class Trainer:
             t0 = time.time()
             epoch_losses = []
             n_steps = 0
-            for si, plan in schedule:
-                shard_data = self._device_data(train_sds.load_shard(si))
+            # Double-buffered shard pipeline: the scan over shard i is
+            # dispatched asynchronously, so shard i+1's host->HBM upload
+            # overlaps shard i's compute (the host is otherwise idle while
+            # the device runs). Two shards resident at peak — by
+            # construction a shard is sized well under half of HBM.
+            next_data = self._device_data(
+                train_sds.load_shard(schedule[0][0])
+            )
+            for idx, (si, plan) in enumerate(schedule):
+                shard_data, next_data = next_data, None
                 root_key, ekey = jax.random.split(root_key)
                 state, losses = run_epoch(
                     state, shard_data, self._plan_to_device(plan), ekey
                 )
+                if idx + 1 < len(schedule):
+                    next_data = self._device_data(
+                        train_sds.load_shard(schedule[idx + 1][0])
+                    )
                 epoch_losses.append(losses)
                 n_steps += plan.shape[0]
                 del shard_data  # drop the HBM residence before the next shard
