@@ -106,6 +106,31 @@ def test_backward_fully_masked_row(rng):
         )
 
 
+def test_backward_bf16_dkdv_outputs(rng):
+    """bf16 inputs take the r3 single-q-tile path where the kernel emits
+    dk/dv in bf16 directly (no post-kernel convert); grads must still match
+    the dense path at bf16 tolerance."""
+    q, k, v, mask = _inputs(rng, b=1, h=2, t=40, s=8)
+    q, k, v = (a.astype(jnp.bfloat16) for a in (q, k, v))
+    emb = q.shape[1] * q.shape[3]
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, mask, emb).astype(jnp.float32) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, emb).astype(jnp.float32) ** 2)
+
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        assert g.dtype == jnp.bfloat16, f"d{name} dtype {g.dtype}"
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32),
+            rtol=0.05, atol=0.05, err_msg=f"d{name} mismatch",
+        )
+
+
 def test_encoder_with_pallas_flag(rng):
     """SequenceEncoder(use_pallas=True) runs the kernel (interpret mode)."""
     from multimodal_supernovae_tpu.models import SequenceEncoder
