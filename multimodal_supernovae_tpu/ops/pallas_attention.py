@@ -82,10 +82,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
     k = k_ref[...] * scale
     scores = _batched_dot(q, k, 1, 1)  # (NB, TQ, T) f32
     scores = _apply_mask(scores, mask_ref)
-    probs = jax.nn.softmax(scores, axis=-1)
-    # out^T = v @ P^T -> (NB, S, TQ)
-    out = _batched_dot(v_ref[...], probs.astype(v_ref.dtype), 2, 2)
-    out_ref[...] = out.astype(out_ref.dtype)
+    # OUT-NORMALIZED softmax (r3, measured 17% faster than jax.nn.softmax
+    # here): divide the (NB, S, TQ) OUTPUT by the softmax denominator
+    # instead of the 25x-larger (NB, TQ, T) probability tensor — the VPU
+    # softmax chain is 42% of this kernel (benchmarks/PERF.md r3), and the
+    # big-tensor divide pass is the removable part. Keepdims-free
+    # reductions keep TQ on lanes for the row broadcasts.
+    m = jnp.max(scores, axis=-1)                 # (NB, TQ)
+    e = jnp.exp(scores - m[:, :, None])          # masked keys: exactly 0
+    s = jnp.sum(e, axis=-1)                      # (NB, TQ)
+    # out^T = v @ e^T / s -> (NB, S, TQ)
+    out = _batched_dot(v_ref[...], e.astype(v_ref.dtype), 2, 2)
+    out_ref[...] = (out / s[:, None, :]).astype(out_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
@@ -100,6 +108,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
 
     scores = _batched_dot(q * scale, k * scale, 1, 1)  # (NB, TQ, T) f32
     scores = _apply_mask(scores, mask_ref)
+    # The backward keeps jax.nn.softmax: the r3 unnormalised-softmax
+    # rewrite (fold 1/s into the small dot operands, never materialise
+    # probs) measured SLOWER here — 933 us/call vs 857, and 960 with
+    # keepdims reductions — jax.nn.softmax's lowering beats both manual
+    # forms in this kernel (benchmarks/PERF.md r3). Only the FORWARD keeps
+    # the out-normalised form, where it wins 19%.
     probs = jax.nn.softmax(scores, axis=-1)
 
     dprobs = _batched_dot(g, v, 1, 1)  # (NB, TQ, T) f32
