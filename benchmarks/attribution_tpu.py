@@ -34,7 +34,9 @@ def main():
 
     ds = make_synthetic_dataset(n=2048, n_max_lc=100, nband=2, n_max_sp=220, seed=0)
     data = ds.to_device()
-    batch, steps = 256, 16
+    # 64 steps/scan: the 16-step harness carried ~1.8 ms/step of tunnel RTT
+    # (r2 lesson); every entry is stamped with its harness.
+    batch, steps = 256, 64
     rng = np.random.default_rng(0)
     plan = jnp.asarray(
         epoch_indices(len(ds), batch, rng=rng, shuffle=True, pad="drop")[:steps]
@@ -78,7 +80,11 @@ def main():
                 state2, losses = run_epoch(state2, data, plan, jax.random.PRNGKey(0))
                 float(losses.sum())
                 times.append(time.perf_counter() - t0)
-            results[name] = {"step_ms": round(min(times) / steps * 1e3, 2)}
+            results[name] = {
+                "step_ms": round(min(times) / steps * 1e3, 2),
+                "harness": {"steps_per_scan": steps, "scans": 3,
+                            "sync": "value-fetch", "round": "r3"},
+            }
         except Exception as e:
             results[name] = {"error": str(e)[:160]}
         print(name, results[name], flush=True)
