@@ -57,7 +57,10 @@ def _run_workers(n_proc: int, local_devices: int, n_model: int = 1,
         ))
     results = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        # 1200 s: each worker pays a full JAX import + CPU compile; on the
+        # saturated 1-core CI host the whole slow suite shares that core and
+        # 600 s expired spuriously (r2 and r3 both observed the flake).
+        out, err = p.communicate(timeout=1200)
         assert p.returncode == 0, f"worker failed:\nSTDOUT:{out}\nSTDERR:{err}"
         line = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert line, f"no RESULT line:\n{out}\n{err}"
