@@ -79,22 +79,21 @@ def build_setup(batch: int = 256, dtype: str = None, steps_per_scan: int = 64,
     plan = jnp.asarray(plan[:steps_per_scan])
     key = jax.random.PRNGKey(0)
     return {"model": model, "cfg": cfg, "state": state, "data": data,
-            "plan": plan, "key": key, "dtype": dtype, "batch": batch}
+            "plan": plan, "key": key, "dtype": dtype, "batch": batch,
+            "run_epoch": run_epoch}
 
 
 def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
          dtype: str = None) -> None:
     import jax
 
-    from multimodal_supernovae_tpu.training.step import make_epoch_runner
     from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu
 
     n_chips = len(jax.devices())
     setup = build_setup(batch, dtype, steps_per_scan)
     state, data, plan, key = (setup["state"], setup["data"], setup["plan"],
                               setup["key"])
-    run_epoch = make_epoch_runner(setup["model"], noise_level_mag=1.0,
-                                  donate=False)
+    run_epoch = setup["run_epoch"]
     n_steps = plan.shape[0]
 
     # compile + warmup. NOTE: sync via a VALUE FETCH, not block_until_ready —

@@ -82,7 +82,6 @@ def main():
         shard_epoch_schedule,
         write_sharded_cache,
     )
-    from multimodal_supernovae_tpu.training.step import make_epoch_runner
     from bench import build_setup
 
     n_rows = args.shards * args.rows_per_shard
@@ -90,20 +89,33 @@ def main():
     print(f"corpus: {args.shards} shards x {args.rows_per_shard} rows "
           f"~= {n_rows * row_bytes / 1e9:.1f} GB", flush=True)
 
+    # Reuse the cache only when its geometry matches THESE args — a stale
+    # cache from a crashed/--keep-cache run with different --shards/
+    # --rows-per-shard must not be measured under the new run's labels.
+    geom = {"shards": args.shards, "rows_per_shard": args.rows_per_shard}
+    geom_path = os.path.join(args.cache_dir, "bench_geometry.json")
+    reuse = False
+    if os.path.exists(os.path.join(args.cache_dir, "stream_manifest.json")):
+        try:
+            with open(geom_path) as f:
+                reuse = json.load(f) == geom
+        except (OSError, json.JSONDecodeError):
+            reuse = False
     t0 = time.time()
-    if not os.path.exists(os.path.join(args.cache_dir, "stream_manifest.json")):
+    if not reuse:
         shutil.rmtree(args.cache_dir, ignore_errors=True)
         write_sharded_cache(
             args.cache_dir, synth_chunks(n_rows, args.rows_per_shard),
             args.rows_per_shard,
         )
+        with open(geom_path, "w") as f:
+            json.dump(geom, f)
     ingest_s = time.time() - t0
     sds = ShardedDataset(args.cache_dir)
 
     # model/state identical to the headline bench
     setup = build_setup(args.batch, steps_per_scan=64)
-    run_epoch = make_epoch_runner(setup["model"], noise_level_mag=1.0,
-                                  donate=False)
+    run_epoch = setup["run_epoch"]
     state, key = setup["state"], setup["key"]
 
     # warm-up compile on shard 0 (shapes are identical across shards)
@@ -145,13 +157,13 @@ def main():
 
     # in-memory comparison: same jitted step over one shard-sized dataset
     d0 = sds.load_shard(0).to_device()
-    plan = jnp.asarray(schedule[0][1][:64])
+    plan = jnp.asarray(schedule[0][1][:64])  # may be < 64 steps: use .shape
     state, losses = run_epoch(state, d0, plan, key)
     float(losses.sum())
     t5 = time.time()
     state, losses = run_epoch(state, d0, plan, key)
     float(losses.sum())
-    inmem = (64 * args.batch) / (time.time() - t5)
+    inmem = (plan.shape[0] * args.batch) / (time.time() - t5)
 
     out = {
         "corpus_gb": round(n_rows * row_bytes / 1e9, 2),

@@ -62,8 +62,6 @@ VARIANTS = {
 def main():
     import jax
 
-    from multimodal_supernovae_tpu.training.step import make_epoch_runner
-
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     scans = 3
@@ -71,8 +69,7 @@ def main():
     setup = bench.build_setup(batch, None, steps)
     state, data, plan, key = (setup["state"], setup["data"], setup["plan"],
                               setup["key"])
-    run_epoch = make_epoch_runner(setup["model"], noise_level_mag=1.0,
-                                  donate=False)
+    run_epoch = setup["run_epoch"]
     lowered = run_epoch.lower(state, data, plan, key)
 
     results = {}

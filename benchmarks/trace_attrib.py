@@ -95,11 +95,9 @@ def main(batch: int = 256, steps: int = 64):
     import jax
 
     from bench import build_setup
-    from multimodal_supernovae_tpu.training.step import make_epoch_runner
 
     setup = build_setup(batch, steps_per_scan=steps)
-    run_epoch = make_epoch_runner(setup["model"], noise_level_mag=1.0,
-                                  donate=False)
+    run_epoch = setup["run_epoch"]
     state, data, plan, key = (setup["state"], setup["data"], setup["plan"],
                               setup["key"])
     # compile + warmup (value fetch = the only true barrier on this backend)

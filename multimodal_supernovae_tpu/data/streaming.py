@@ -10,9 +10,10 @@ extinction + pad work on every epoch. Here the streaming unit is a SHARD:
   ingest (once):  HDF5 group chunks -> fixed-size cache shards on disk
                   (each a dir of .npy files; vectorized preprocessing runs
                   once per row ever, not once per epoch)
-  train (epochs): shuffled shard order -> one shard resident in HBM at a
-                  time -> the SAME jitted epoch scan as the in-memory path
-                  runs over each shard's step plan
+  train (epochs): shuffled shard order -> at most two shards resident in
+                  HBM (double-buffered upload/compute overlap, dropping to
+                  one when two don't fit) -> the SAME jitted epoch scan as
+                  the in-memory path runs over each shard's step plan
 
 Shuffling is two-level (shard order + rows within shard), the standard
 sharded-corpus compromise; with rows_per_shard >> batch the mixing is

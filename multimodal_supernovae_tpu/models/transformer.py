@@ -165,9 +165,19 @@ class TransformerBlock(nn.Module):
         # notes) — the model is too small for the kernel's per-program
         # overhead to amortise. Kept, tested and documented for larger
         # encoder configs where the traffic saving wins.
+        env = os.environ.get("MMSN_FUSED_BLOCK")
         use_fused = self.use_fused_block
-        if use_fused is None:
-            use_fused = os.environ.get("MMSN_FUSED_BLOCK") == "1"
+        if env == "0":
+            # Kill switch: wins even over an explicit use_fused_block=True
+            # (lets an operator disable the kernel on a config they cannot
+            # edit).
+            use_fused = False
+        elif use_fused is None:
+            # The env opt-in is a TPU perf knob: never route a CPU/GPU run
+            # into the TPU-only (pltpu.VMEM) kernel because a bench shell
+            # exported the flag. Explicit use_fused_block=True still runs
+            # anywhere (tests drive it under force_tpu_interpret_mode).
+            use_fused = env == "1" and jax.default_backend() == "tpu"
         if (
             use_fused
             and self.dropout == 0.0

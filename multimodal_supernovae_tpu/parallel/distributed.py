@@ -186,14 +186,21 @@ def mesh_from_args(args) -> Optional[Mesh]:
 
 
 def fetch_global_scalar(x: jax.Array) -> float:
-    """Execution barrier + value readback that works for multi-host arrays:
-    fully-replicated or single-scalar outputs are addressable everywhere.
+    """Execution barrier + value readback for multi-host metric outputs.
 
-    ``process_allgather`` stacks a leading process dimension; a replicated
-    value therefore comes back N times, so the readback takes process 0's
-    copy before reducing (ADVICE r2)."""
-    from jax.experimental import multihost_utils
-
+    Requires a fully-REPLICATED array (every metric this framework reads
+    back is psum/pmean-reduced before it leaves the jitted step): each
+    device then holds the complete value, so the local addressable shard
+    IS the global array and no collective is needed. ``process_allgather``
+    is the wrong tool here — on this jax version it rejects
+    non-fully-addressable inputs without ``tiled=True``, and its output
+    layout differs between replicated and sharded inputs (ADVICE r2/r3)."""
     if jax.process_count() > 1 and not x.is_fully_addressable:
-        x = multihost_utils.process_allgather(x)[0]
+        if not x.sharding.is_fully_replicated:
+            raise ValueError(
+                "fetch_global_scalar needs a fully-replicated array; "
+                f"got sharding {x.sharding}. Reduce (psum/pmean) inside "
+                "the jitted step before reading the value back."
+            )
+        x = x.addressable_shards[0].data
     return float(np.asarray(x).sum())

@@ -133,12 +133,25 @@ class CheckpointManager:
         mgr = self._best if which == "best" else self._last
         if epoch is None:
             epoch = mgr.best_step() if which == "best" else mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(
+                f"no '{which}' checkpoint exists under {self.run_dir} — "
+                "nothing to restore."
+            )
         template = self._state_dict(state)
         try:
             restored = mgr.restore(
                 epoch, args=ocp.args.StandardRestore(template)
             )
         except (ValueError, KeyError) as e:
+            # Only rebrand genuine STRUCTURE mismatches; let unrelated orbax
+            # failures (missing step, corrupt metadata, interrupted write)
+            # surface as themselves instead of sending the operator chasing
+            # a format migration that never happened.
+            msg = str(e).lower()
+            if not any(w in msg for w in
+                       ("structure", "tree", "custom_node", "mismatch")):
+                raise
             # FORMAT BREAK (round 2): unfrozen runs now wrap the optimizer in
             # ``optax.flatten`` (training/optim.py), so opt_state is a single
             # concatenated vector instead of per-leaf RAdam moments.

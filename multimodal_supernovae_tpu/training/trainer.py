@@ -335,7 +335,9 @@ class Trainer:
         state: Optional[TrainState] = None,
     ) -> Dict[str, Any]:
         """Train over a sharded cache too large to materialise: per epoch,
-        shuffled shard order, ONE shard resident in HBM at a time, the same
+        shuffled shard order, at most TWO shards resident in HBM at a time
+        (the next shard's upload overlaps the current shard's compute; the
+        pipeline degrades to one-resident when two don't fit), the same
         jitted epoch scan per shard (data/streaming.py). Eval/checkpoint/
         early-stop cadence matches ``fit``; validation stays in-memory."""
         from ..data.streaming import shard_epoch_schedule
@@ -364,10 +366,32 @@ class Trainer:
         self.set_dataset_size(len(train_sds))
         val_data = self._device_data(val_ds)
         first_shard = train_sds.load_shard(0)
+        shard_bytes = sum(
+            np.asarray(v).nbytes for v in first_shard.arrays.values()
+        )
         example = first_shard.to_device().take(jnp.arange(cfg.batch_size))
         if state is None:
             state = self.init_state(example)
         del first_shard, example
+
+        # Double-buffering (below) holds TWO shards in HBM at peak.
+        # rows_per_shard is a free user parameter, so a cache may legally be
+        # sized near the whole of HBM per shard — degrade to the serial
+        # one-shard-resident pipeline rather than OOM mid-epoch.
+        prefetch = True
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            if limit:
+                prefetch = 2 * shard_bytes <= 0.75 * int(limit)
+        except Exception:
+            pass  # backend exposes no memory stats (CPU): keep the pipeline
+        if not prefetch and is_main:
+            print(
+                f"fit_sharded: shard size {shard_bytes / 1e9:.2f} GB — two "
+                "shards would not fit in HBM; shard prefetch disabled",
+                flush=True,
+            )
 
         run_epoch = make_epoch_runner(
             self.model, gather_axis=None,
@@ -399,18 +423,22 @@ class Trainer:
             # Double-buffered shard pipeline: the scan over shard i is
             # dispatched asynchronously, so shard i+1's host->HBM upload
             # overlaps shard i's compute (the host is otherwise idle while
-            # the device runs). Two shards resident at peak — by
-            # construction a shard is sized well under half of HBM.
-            next_data = self._device_data(
-                train_sds.load_shard(schedule[0][0])
+            # the device runs). Two shards resident at peak — guarded above
+            # against shards sized over half of HBM.
+            next_data = (
+                self._device_data(train_sds.load_shard(schedule[0][0]))
+                if prefetch else None
             )
             for idx, (si, plan) in enumerate(schedule):
-                shard_data, next_data = next_data, None
+                if prefetch:
+                    shard_data, next_data = next_data, None
+                else:
+                    shard_data = self._device_data(train_sds.load_shard(si))
                 root_key, ekey = jax.random.split(root_key)
                 state, losses = run_epoch(
                     state, shard_data, self._plan_to_device(plan), ekey
                 )
-                if idx + 1 < len(schedule):
+                if prefetch and idx + 1 < len(schedule):
                     next_data = self._device_data(
                         train_sds.load_shard(schedule[idx + 1][0])
                     )

@@ -173,9 +173,22 @@ def test_use_pallas_does_not_select_fused_block(monkeypatch):
     monkeypatch.setattr(fb, "fused_transformer_block", boom)
     block.apply(params, x, mask)  # must take the unfused path
 
+    # The env opt-in only engages on the TPU backend (it selects a
+    # pltpu.VMEM kernel); fake the backend to exercise the routing on CPU.
     monkeypatch.setenv("MMSN_FUSED_BLOCK", "1")
+    TransformerBlock(emb=64, heads=2).apply(params, x, mask)  # CPU: unfused
+
+    import multimodal_supernovae_tpu.models.transformer as tr
+
+    monkeypatch.setattr(tr.jax, "default_backend", lambda: "tpu")
     with pytest.raises(AssertionError, match="fused block selected"):
         TransformerBlock(emb=64, heads=2).apply(params, x, mask)
+
+    # MMSN_FUSED_BLOCK=0 is a kill switch even over an explicit field.
+    monkeypatch.setenv("MMSN_FUSED_BLOCK", "0")
+    TransformerBlock(emb=64, heads=2, use_fused_block=True).apply(
+        params, x, mask
+    )  # unfused: no boom
 
 
 def test_bf16_close_to_f32(setup):

@@ -64,3 +64,36 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path):
         train, val, resume=True
     )
     assert res["epochs_run"] == 2
+
+
+def test_restore_errors_are_specific(tmp_path):
+    """Missing checkpoints and structure mismatches get DISTINCT errors
+    (ADVICE r3): a run dir with no checkpoint must not be reported as the
+    optax.flatten format break."""
+    from multimodal_supernovae_tpu.training.checkpoint import CheckpointManager
+
+    ds = make_synthetic_dataset(n=16, n_max_lc=8, n_max_sp=8, seed=2)
+    train, val = ds.subset(np.arange(12)), ds.subset(np.arange(12, 16))
+    run_dir = str(tmp_path / "run")
+    trainer = make_trainer(run_dir, epochs=1)
+    state = trainer.init_state(train.to_device().take(np.arange(8)))
+
+    # nothing saved yet: a clear missing-checkpoint error, NOT the format
+    # message — and try_restore_last keeps returning None
+    empty = CheckpointManager(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="no 'best' checkpoint"):
+        empty.restore(state)
+    assert empty.try_restore_last(state) is None
+
+    trainer.fit(train, val)
+    ckpts = CheckpointManager(run_dir)
+
+    # matching template restores fine
+    restored, epoch = ckpts.try_restore_last(state)
+    assert epoch == 0
+
+    # structurally different opt_state (e.g. a pre-optax.flatten per-leaf
+    # tree) -> the rebranded format-break RuntimeError
+    bad = state.replace(opt_state={"nested": {"m": state.params}})
+    with pytest.raises(RuntimeError, match="optax.flatten"):
+        ckpts.restore(bad, which="last")
