@@ -85,7 +85,31 @@ def main():
     )
     res = trainer.fit(ds.subset(np.arange(48)), ds.subset(np.arange(48, 64)))
 
+    # fetch_global_scalar: the replicated-readback helper must return the
+    # true value once (not N times) on every process, and reject sharded
+    # inputs instead of silently dropping data (ADVICE r2/r3).
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = jax.jit(
+        lambda: jnp.full((4,), 2.5), out_shardings=NamedSharding(mesh, P())
+    )()
+    fetched = distributed.fetch_global_scalar(rep)
+    assert fetched == 10.0, fetched
+    n_dev = len(jax.devices())
+    sharded = jax.jit(
+        lambda: jnp.arange(float(n_dev)),
+        out_shardings=NamedSharding(mesh, P(distributed.DATA_AXIS)),
+    )()
+    if jax.process_count() > 1:
+        try:
+            distributed.fetch_global_scalar(sharded)
+            raise AssertionError("sharded input must be rejected")
+        except ValueError:
+            pass
+
     print("RESULT " + json.dumps({
+        "fetch_scalar": fetched,
         "process": jax.process_index(),
         "n_processes": jax.process_count(),
         "global_devices": len(jax.devices()),
