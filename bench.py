@@ -83,8 +83,14 @@ def build_setup(batch: int = 256, dtype: str = None, steps_per_scan: int = 64,
             "run_epoch": run_epoch}
 
 
-def main(batch: int = 256, steps_per_scan: int = 64, scans: int = 3,
+def main(batch: int = 256, steps_per_scan: int = 128, scans: int = 3,
          dtype: str = None) -> None:
+    # 128 steps/scan (r3): one scan launch costs ~28 ms of tunnel RTT
+    # regardless of length, so the per-step phantom is RTT/steps — 0.44 ms
+    # at 64, 0.22 ms at 128. Real epochs are hundreds of steps (Maven
+    # pretrain: ~490 at B=1024), so the longer scan is the MORE
+    # representative harness, not a benchmark trick; provenance is recorded
+    # in the detail block.
     import jax
 
     from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu

@@ -36,6 +36,9 @@ def time_scan(run_epoch, state, data, plan, key, scans=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run only variants whose name contains this "
+                         "substring; results MERGE into the existing json")
     args = ap.parse_args()
 
     import jax
@@ -75,9 +78,15 @@ def main():
         # the reference's full 4-modality path (AUC_val{1..6},
         # models_multimodal.py:527-556) exercised on the real chip
         ("flash_quadrimodal_b256_bf16", bf16, 256, quad),
+        # ours: the TPU-first ViT image tower (models/vit.py) vs the
+        # reference-parity ConvMixer at the same trimodal recipe
+        ("flash_trimodal_vit_b256_bf16",
+         dict(image_encoder="vit", **bf16), 256, tri),
     ]
     if args.quick:
         variants = variants[:2]
+    if args.only:
+        variants = [v for v in variants if args.only in v[0]]
 
     rng = np.random.default_rng(0)
     for name, extra_cfg, batch, combos in variants:
@@ -93,11 +102,13 @@ def main():
                 "n_out": 32, "dropout_prob": 0.0}
         meta = {"input_dim": 128, "hidden_dim": 128, "num_layers": 2,
                 "dropout_prob": 0.0}  # the reference's meta-encoder defaults
+        vit = {"emb": 128, "depth": 6, "heads": 4, "patch_size": 10,
+               "n_out": 32, "dropout_prob": 0.0}
         cfg = CLIPConfig.create(
             combinations=combos, enc_dim=32, nband=2, logit_scale_init=19.55,
             loss="softmax",
             transformer_kwargs=seq_lc, transformer_spectral_kwargs=seq_sp,
-            conv_kwargs=conv, meta_kwargs=meta,
+            conv_kwargs=conv, meta_kwargs=meta, vit_kwargs=vit,
             **extra_cfg,
         )
         model = CLIPModel(cfg)
@@ -144,6 +155,13 @@ def main():
         print(name, results[name], flush=True)
 
     out = os.path.join(os.path.dirname(__file__), "profile_results.json")
+    if args.only and os.path.exists(out):
+        # partial rerun: merge into the published record instead of
+        # clobbering the variants that were not re-measured
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

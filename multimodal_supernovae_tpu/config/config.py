@@ -254,6 +254,17 @@ def build_clip_config(run_cfg: Dict[str, Any], extra: Dict[str, Any], nband: int
         "num_layers": g("meta_num_layers", 2),
         "dropout": g("dropout", 0.0),
     }
+    # TPU-first alternative image tower (ours; extra_args.image_encoder:
+    # 'vit' selects it — the default stays ConvMixer for reference parity).
+    vit_kwargs = {
+        "emb": g("vit_emb", 128),
+        "depth": g("vit_depth", 6),
+        "heads": g("vit_heads", 4),
+        "patch_size": g("vit_patch_size", g("cnn_patch_size", 10)),
+        "mlp_mult": g("vit_mlp_mult", 4),
+        "n_out": run_cfg["n_out"],
+        "dropout_prob": g("dropout", 0.0),
+    }
     return CLIPConfig.create(
         combinations=tuple(extra["combinations"]),
         # The reference never passes enc_dim to LightCurveImageCLIP, so its
@@ -266,6 +277,8 @@ def build_clip_config(run_cfg: Dict[str, Any], extra: Dict[str, Any], nband: int
         transformer_spectral_kwargs=transformer_spectral_kwargs,
         conv_kwargs=conv_kwargs,
         meta_kwargs=meta_kwargs,
+        vit_kwargs=vit_kwargs,
+        image_encoder=extra.get("image_encoder", "convmixer"),
         loss=extra.get("loss", "softmax"),
         regression=bool(extra.get("regression", False)),
         classification=bool(extra.get("classification", False)),

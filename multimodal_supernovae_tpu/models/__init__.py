@@ -6,6 +6,7 @@ from .transformer import (
     time_positional_encoding,
 )
 from .convmixer import ConvMixer
+from .vit import ViT
 from .mlp import MLP
 from .clip import CLIPModel, CLIPConfig
 from .pretraining import MaskedLightCurveEncoder

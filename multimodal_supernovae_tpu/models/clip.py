@@ -36,6 +36,7 @@ from ..ops import losses as L
 from .convmixer import ConvMixer
 from .mlp import MLP
 from .transformer import SequenceEncoder
+from .vit import ViT
 
 
 def _default_seq_kwargs() -> Dict[str, Any]:
@@ -57,6 +58,17 @@ def _default_meta_kwargs() -> Dict[str, Any]:
     return {"input_dim": 128, "hidden_dim": 128, "num_layers": 2}
 
 
+def _default_vit_kwargs() -> Dict[str, Any]:
+    return {
+        "emb": 128,
+        "depth": 6,
+        "heads": 4,
+        "patch_size": 10,
+        "mlp_mult": 4,
+        "n_out": 128,
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     """Static model configuration (hashable; safe as a jit-static leaf)."""
@@ -70,6 +82,11 @@ class CLIPConfig:
     transformer_spectral_kwargs: Tuple[Tuple[str, Any], ...] = ()
     conv_kwargs: Tuple[Tuple[str, Any], ...] = ()
     meta_kwargs: Tuple[Tuple[str, Any], ...] = ()
+    # Image tower family: 'convmixer' (reference parity, the default) or
+    # 'vit' (TPU-first extension, models/vit.py — matmul-dominated, no
+    # BatchNorm state to sync across chips).
+    image_encoder: str = "convmixer"
+    vit_kwargs: Tuple[Tuple[str, Any], ...] = ()
     loss: str = "sigmoid"  # 'sigmoid' | 'softmax'
     regression: bool = False
     classification: bool = False
@@ -87,6 +104,7 @@ class CLIPConfig:
         transformer_spectral_kwargs: Optional[Dict[str, Any]] = None,
         conv_kwargs: Optional[Dict[str, Any]] = None,
         meta_kwargs: Optional[Dict[str, Any]] = None,
+        vit_kwargs: Optional[Dict[str, Any]] = None,
         **kw,
     ) -> "CLIPConfig":
         def freeze(d, default):
@@ -106,6 +124,7 @@ class CLIPConfig:
             ),
             conv_kwargs=freeze(conv_kwargs, _default_conv_kwargs()),
             meta_kwargs=freeze(meta_kwargs, _default_meta_kwargs()),
+            vit_kwargs=freeze(vit_kwargs, _default_vit_kwargs()),
             **kw,
         )
 
@@ -124,6 +143,9 @@ class CLIPConfig:
 
     def mk(self) -> Dict[str, Any]:
         return dict(self.meta_kwargs)
+
+    def vk(self) -> Dict[str, Any]:
+        return dict(self.vit_kwargs)
 
     @property
     def head_out(self) -> int:
@@ -167,9 +189,19 @@ class CLIPModel(nn.Module):
             )
             self.spectral_projection = nn.Dense(c.enc_dim)
         if "host_galaxy" in combos:
-            ck = c.ck()
-            ck.pop("channels", None)  # NHWC input carries its own channels
-            self.image_encoder = ConvMixer(axis_name=self.axis_name, **ck)
+            if c.image_encoder == "vit":
+                vk = c.vk()
+                # The tower's token count ((H/p)*(W/p), e.g. 36 at 60x60/p10)
+                # is far below the flash kernel's payoff range, so default to
+                # per-shape auto-dispatch (dense XLA at short sequences)
+                # instead of inheriting the model-wide use_pallas;
+                # vit_kwargs["use_pallas"] still overrides.
+                vk.setdefault("use_pallas", None)
+                self.image_encoder = ViT(dtype=c.dtype, **vk)
+            else:
+                ck = c.ck()
+                ck.pop("channels", None)  # NHWC input carries its own channels
+                self.image_encoder = ConvMixer(axis_name=self.axis_name, **ck)
             self.image_projection = nn.Dense(c.enc_dim)
         if "meta" in combos:
             mk = c.mk()

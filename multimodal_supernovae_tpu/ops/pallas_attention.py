@@ -48,6 +48,13 @@ DEFAULT_TQ = 256
 _SCORE_VMEM_BUDGET = int(
     os.environ.get("MMSN_FLASH_VMEM_BUDGET", 4 * 1024 * 1024)
 )
+# The FORWARD kernel defaults to a tighter budget: the NB sweep
+# (benchmarks/probe_nb.py, r3) measured NB=8 fastest for the forward at the
+# LC headline shapes (499 vs 530 us/call at NB=16; full step 16.10 ->
+# 15.96 ms) while the backward showed no gain above NB=8 — smaller score
+# tiles leave more VMEM for Mosaic's input double-buffering. An explicit
+# MMSN_FLASH_VMEM_BUDGET still overrides both kernels.
+_FWD_VMEM_BUDGET = 1536 * 1024
 
 
 def _batched_dot(a, b, contract_a, contract_b):
@@ -140,7 +147,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         dv_ref[...] += dv_tile.astype(dv_ref.dtype)
 
 
-def _choose_nb(bh: int, t: int, tq: int, budget_scale: float = 1.0) -> int:
+def _choose_nb(bh: int, t: int, tq: int, budget_scale: float = 1.0,
+               default_budget: int = None, io_row_bytes: int = 0,
+               score_bufs: int = 2) -> int:
     """Rows per program: within the VMEM score budget, a multiple of 8 (the
     mask block's sublane divisibility requirement), dividing bh.
 
@@ -148,11 +157,33 @@ def _choose_nb(bh: int, t: int, tq: int, budget_scale: float = 1.0) -> int:
     buffers of the forward (scores+probs+dprobs+dscores with partial
     reuse), so it halves the budget — fewer rows per program, but within
     the 16 MB scoped-vmem ceiling.
+
+    ``default_budget``: per-kernel default used when MMSN_FLASH_VMEM_BUDGET
+    is NOT set (the forward passes the tighter ``_FWD_VMEM_BUDGET``); an
+    explicit env var overrides it so the documented knob sweeps both
+    kernels.
+
+    ``io_row_bytes``/``score_bufs``: the score budget alone undercounts
+    VMEM at SHORT sequences — small t*tq makes nb huge, and the per-program
+    block I/O (double-buffered by Mosaic) then overflows the 16 MB ceiling
+    by itself (observed: the bwd kernel at the ViT tower's t=36, s=32,
+    bh=1024 picked nb=256 and failed remote compile; nb=128 compiles).
+    Callers pass the bytes of block inputs+outputs per head-row so the
+    TOTAL estimate (2x-buffered I/O + f32 score-sized temporaries) is kept
+    under a conservative ceiling. At the reference's LC/SP shapes nb is
+    already 8, so this cap never binds there.
     """
-    budget = int(os.environ.get("MMSN_FLASH_VMEM_BUDGET", _SCORE_VMEM_BUDGET))
+    env = os.environ.get("MMSN_FLASH_VMEM_BUDGET")
+    if env is not None:
+        budget = int(env)
+    else:
+        budget = default_budget if default_budget else _SCORE_VMEM_BUDGET
     budget = int(budget * budget_scale)
     nb = max(8, budget // (4 * tq * t) // 8 * 8)
     nb = min(nb, bh)
+    ceiling = 10 * 1024 * 1024
+    while nb > 8 and nb * (score_bufs * 4 * tq * t + 2 * io_row_bytes) > ceiling:
+        nb -= 8
     while nb > 8 and bh % nb:
         nb -= 8
     return nb
@@ -209,7 +240,11 @@ def _flash_attention_st(qt, kt, vt, mask, emb: int, tq: int):
 def _flash_fwd_impl(qt, kt, vt, mask, emb, tq):
     bh, s, t = qt.shape
     scale = float(emb) ** -0.25
-    nb = _choose_nb(bh, t, tq)
+    isz = qt.dtype.itemsize
+    # blocks per head-row: q + out (s*tq each), k + v (s*t each), mask (t)
+    io_row = isz * (2 * s * tq + 2 * s * t) + t
+    nb = _choose_nb(bh, t, tq, default_budget=_FWD_VMEM_BUDGET,
+                    io_row_bytes=io_row, score_bufs=2)
     grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
@@ -228,7 +263,11 @@ def _flash_bwd(emb, tq, residuals, g):
     qt, kt, vt, mask = residuals
     bh, s, t = qt.shape
     scale = float(emb) ** -0.25
-    nb = _choose_nb(bh, t, tq, budget_scale=0.5)
+    isz = qt.dtype.itemsize
+    # blocks per head-row: q + g + dq (s*tq each), k + v + dk + dv (s*t), mask
+    io_row = isz * (3 * s * tq + 4 * s * t) + t
+    nb = _choose_nb(bh, t, tq, budget_scale=0.5,
+                    io_row_bytes=io_row, score_bufs=4)
     grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
     # dk/dv accumulate across q-tiles, so they need f32 outputs ONLY when
     # the grid revisits them (t > tq). At the reference's sequence lengths

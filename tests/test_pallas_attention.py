@@ -146,3 +146,63 @@ def test_encoder_with_pallas_flag(rng):
     out_d = enc_d.apply(params, x, t, mask)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_choose_nb_vmem_ceiling_short_sequences():
+    """At short sequences the score-budget formula alone picks huge NB and
+    the double-buffered block I/O overflows the ~16 MB VMEM by itself —
+    observed as a remote Mosaic compile failure at the ViT tower's shapes
+    (t=36->tq=40, s=32, bh=1024 picked nb=256; nb=128 compiles). The
+    I/O-aware ceiling must bound it, while the reference LC/SP headline
+    shapes keep their tuned nb=8."""
+    from multimodal_supernovae_tpu.ops.pallas_attention import (
+        _FWD_VMEM_BUDGET,
+        _choose_nb,
+    )
+
+    def fwd_nb(bh, t, tq, s, isz=2):
+        io = isz * (2 * s * tq + 2 * s * t) + t
+        return _choose_nb(bh, t, tq, default_budget=_FWD_VMEM_BUDGET,
+                          io_row_bytes=io, score_bufs=2)
+
+    def bwd_nb(bh, t, tq, s, isz=2):
+        io = isz * (3 * s * tq + 4 * s * t) + t
+        return _choose_nb(bh, t, tq, budget_scale=0.5,
+                          io_row_bytes=io, score_bufs=4)
+
+    # ViT tower shapes (60x60 images, patch 10 -> 36 tokens -> tq=40)
+    assert bwd_nb(1024, 40, 40, 32) <= 128
+    assert fwd_nb(1024, 40, 40, 32) <= 128
+    # headline shapes unchanged: LC (t=200, s=8), SP (t=220->224, s=16)
+    for bh in (2048, 8192):
+        assert fwd_nb(bh, 200, 200, 8) == 8
+        assert bwd_nb(bh, 200, 200, 8) == 8
+    for bh in (1024, 4096):
+        assert fwd_nb(bh, 224, 224, 16) == 8
+        assert bwd_nb(bh, 224, 224, 16) == 8
+
+
+def test_flash_matches_dense_at_vit_shapes(rng):
+    """Interpret-mode parity at the short-sequence ViT shapes that used to
+    fail Mosaic compile (fwd AND bwd through the custom VJP)."""
+    q, k, v, mask = _inputs(rng, b=8, h=4, t=36, s=32, full_mask=True)
+    emb = 128
+
+    want = dense_attention(q, k, v, mask, emb)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, mask, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, mask, emb) ** 2).sum()
+
+    def loss_dense(q, k, v):
+        return (dense_attention(q, k, v, mask, emb) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gf, gd in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                                   rtol=2e-4, atol=2e-4)
