@@ -29,6 +29,14 @@ from profile_tpu import time_scan  # noqa: E402  (same harness, same sync)
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="run only variants whose name contains this "
+                         "substring; results MERGE into the existing json")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -38,13 +46,21 @@ def main():
     from multimodal_supernovae_tpu.training.trainer import Trainer, TrainerConfig
     from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu
 
-    # (name, lc_emb, lc_heads, sp_emb, sp_heads) — depths stay the
-    # reference's (LC 5, SP 13); head_dim = emb/heads.
+    # (name, lc_emb, lc_heads, sp_emb, sp_heads, use_pallas) — depths stay
+    # the reference's (LC 5, SP 13); head_dim = emb/heads. The _dense rows
+    # measure the XLA dense-attention path at the same dims: the flash
+    # kernel was tuned for the reference's tiny head dims, and at healthy
+    # head_dim 64 XLA's own fusion may compete.
     variants = [
-        ("ref_emb64_hd8", 64, 8, 32, 2),       # maven-lite: head_dim 8 / 16
-        ("wide_emb256_hd64", 256, 4, 256, 4),  # head_dim 64: half the MXU rows
-        ("wide_emb512_hd64", 512, 8, 512, 8),  # head_dim 64, 4x the FLOPs
+        ("ref_emb64_hd8", 64, 8, 32, 2, True),       # maven-lite: hd 8 / 16
+        ("wide_emb256_hd64", 256, 4, 256, 4, True),  # hd 64: half MXU rows
+        ("wide_emb512_hd64", 512, 8, 512, 8, True),  # hd 64, 4x the FLOPs
+        ("wide_emb256_hd64_dense", 256, 4, 256, 4, False),
+        ("wide_emb512_hd64_dense", 512, 8, 512, 8, False),
     ]
+
+    if args.only:
+        variants = [v for v in variants if args.only in v[0]]
 
     batch, steps = 256, 64
     ds = make_synthetic_dataset(n=2048, n_max_lc=100, nband=2, n_max_sp=220,
@@ -52,7 +68,7 @@ def main():
     data = ds.to_device()
     rng = np.random.default_rng(0)
     results = {}
-    for name, lc_emb, lc_heads, sp_emb, sp_heads in variants:
+    for name, lc_emb, lc_heads, sp_emb, sp_heads, use_pallas in variants:
         seq_lc = {"n_out": 32, "emb": lc_emb, "heads": lc_heads, "depth": 5,
                   "time_norm": 20583.37, "agg": "attn", "dropout": 0.0}
         seq_sp = {"n_out": 32, "emb": sp_emb, "heads": sp_heads, "depth": 13,
@@ -61,7 +77,7 @@ def main():
             combinations=("lightcurve", "spectral"), enc_dim=32, nband=2,
             logit_scale_init=19.55, loss="softmax",
             transformer_kwargs=seq_lc, transformer_spectral_kwargs=seq_sp,
-            use_pallas=True, compute_dtype="bfloat16",
+            use_pallas=use_pallas, compute_dtype="bfloat16",
         )
         model = CLIPModel(cfg)
         trainer = Trainer(model, task="contrastive",
@@ -95,6 +111,11 @@ def main():
         print(name, results[name], flush=True)
 
     out = os.path.join(os.path.dirname(__file__), "wide_mfu_results.json")
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
