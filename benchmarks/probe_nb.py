@@ -118,8 +118,9 @@ def run_case(name, b, heads, head_dim, t, emb, calls, results):
     lens = rng.integers(int(0.5 * t), t, size=bh)
     mask = jnp.asarray(np.arange(t_pad)[None, :] < lens[:, None])
 
-    cur_fwd_nb = pa._choose_nb(bh, t_pad, tq)
-    cur_bwd_nb = pa._choose_nb(bh, t_pad, tq, budget_scale=0.5)
+    # the kernels' PRODUCTION selection (single source of truth)
+    cur_fwd_nb = pa.fwd_nb(bh, t_pad, tq, s, jnp.dtype(dt).itemsize)
+    cur_bwd_nb = pa.bwd_nb(bh, t_pad, tq, s, jnp.dtype(dt).itemsize)
     case = {"current_fwd_nb": cur_fwd_nb, "current_bwd_nb": cur_bwd_nb,
             "fwd_us": {}, "bwd_us": {},
             "harness": {"calls_per_scan": calls, "scans": 3,

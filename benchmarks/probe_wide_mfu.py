@@ -111,7 +111,9 @@ def main():
         print(name, results[name], flush=True)
 
     out = os.path.join(os.path.dirname(__file__), "wide_mfu_results.json")
-    if os.path.exists(out):
+    if args.only and os.path.exists(out):
+        # partial rerun: merge into the published record instead of
+        # clobbering the variants that were not re-measured
         with open(out) as f:
             merged = json.load(f)
         merged.update(results)

@@ -265,6 +265,11 @@ def build_clip_config(run_cfg: Dict[str, Any], extra: Dict[str, Any], nband: int
         "n_out": run_cfg["n_out"],
         "dropout_prob": g("dropout", 0.0),
     }
+    # Attention-dispatch override for the ViT tower only (None/absent =
+    # per-shape auto; the model-wide use_pallas=False kill-switch also
+    # reaches the tower — models/clip.py).
+    if "vit_use_pallas" in extra:
+        vit_kwargs["use_pallas"] = extra["vit_use_pallas"]
     return CLIPConfig.create(
         combinations=tuple(extra["combinations"]),
         # The reference never passes enc_dim to LightCurveImageCLIP, so its

@@ -192,16 +192,26 @@ class CLIPModel(nn.Module):
             if c.image_encoder == "vit":
                 vk = c.vk()
                 # The tower's token count ((H/p)*(W/p), e.g. 36 at 60x60/p10)
-                # is far below the flash kernel's payoff range, so default to
-                # per-shape auto-dispatch (dense XLA at short sequences)
-                # instead of inheriting the model-wide use_pallas;
-                # vit_kwargs["use_pallas"] still overrides.
-                vk.setdefault("use_pallas", None)
+                # is far below the flash kernel's payoff range, so a
+                # model-wide use_pallas=True does NOT force the kernel here —
+                # the tower auto-dispatches per shape. An explicit
+                # use_pallas=False kill-switch DOES propagate (it exists to
+                # dodge kernel compile issues, so it must cover every tower),
+                # and vit_kwargs["use_pallas"] (extra_args.vit_use_pallas)
+                # overrides both.
+                vk.setdefault(
+                    "use_pallas", False if c.use_pallas is False else None
+                )
                 self.image_encoder = ViT(dtype=c.dtype, **vk)
-            else:
+            elif c.image_encoder == "convmixer":
                 ck = c.ck()
                 ck.pop("channels", None)  # NHWC input carries its own channels
                 self.image_encoder = ConvMixer(axis_name=self.axis_name, **ck)
+            else:
+                raise ValueError(
+                    f"unknown image_encoder {c.image_encoder!r}: "
+                    "expected 'convmixer' or 'vit'"
+                )
             self.image_projection = nn.Dense(c.enc_dim)
         if "meta" in combos:
             mk = c.mk()

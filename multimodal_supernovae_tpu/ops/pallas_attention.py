@@ -44,10 +44,12 @@ import os
 
 MASK_FILL = -1e7
 DEFAULT_TQ = 256
-# Per-buffer f32 score bytes driving rows-per-program; tunable for sweeps.
-_SCORE_VMEM_BUDGET = int(
-    os.environ.get("MMSN_FLASH_VMEM_BUDGET", 4 * 1024 * 1024)
-)
+# Per-buffer f32 score bytes driving rows-per-program. The env override
+# (MMSN_FLASH_VMEM_BUDGET) is read at CALL time inside _choose_nb, never
+# baked in here: an env value present at import would otherwise masquerade
+# as the default after a harness pops the var (benchmarks/profile_tpu.py
+# sets and pops it per-variant).
+_SCORE_VMEM_BUDGET = 4 * 1024 * 1024
 # The FORWARD kernel defaults to a tighter budget: the NB sweep
 # (benchmarks/probe_nb.py, r3) measured NB=8 fastest for the forward at the
 # LC headline shapes (499 vs 530 us/call at NB=16; full step 16.10 ->
@@ -189,6 +191,25 @@ def _choose_nb(bh: int, t: int, tq: int, budget_scale: float = 1.0,
     return nb
 
 
+def fwd_nb(bh: int, t: int, tq: int, s: int, itemsize: int = 2) -> int:
+    """The forward kernel's production NB selection (shape -> rows per
+    program). The single source of truth: called by _flash_fwd_impl, the
+    regression tests, and benchmarks/probe_nb.py, so tuning changes cannot
+    drift apart from what is tested/published."""
+    # blocks per head-row: q + out (s*tq each), k + v (s*t each), mask (t)
+    io_row = itemsize * (2 * s * tq + 2 * s * t) + t
+    return _choose_nb(bh, t, tq, default_budget=_FWD_VMEM_BUDGET,
+                      io_row_bytes=io_row, score_bufs=2)
+
+
+def bwd_nb(bh: int, t: int, tq: int, s: int, itemsize: int = 2) -> int:
+    """The backward kernel's production NB selection (see fwd_nb)."""
+    # blocks per head-row: q + g + dq (s*tq each), k + v + dk + dv (s*t), mask
+    io_row = itemsize * (3 * s * tq + 4 * s * t) + t
+    return _choose_nb(bh, t, tq, budget_scale=0.5,
+                      io_row_bytes=io_row, score_bufs=4)
+
+
 def _specs(bh, t, s, tq, nb):
     grid = (bh // nb, t // tq)
     qspec = pl.BlockSpec((nb, s, tq), lambda i, qi: (i, 0, qi),
@@ -240,11 +261,7 @@ def _flash_attention_st(qt, kt, vt, mask, emb: int, tq: int):
 def _flash_fwd_impl(qt, kt, vt, mask, emb, tq):
     bh, s, t = qt.shape
     scale = float(emb) ** -0.25
-    isz = qt.dtype.itemsize
-    # blocks per head-row: q + out (s*tq each), k + v (s*t each), mask (t)
-    io_row = isz * (2 * s * tq + 2 * s * t) + t
-    nb = _choose_nb(bh, t, tq, default_budget=_FWD_VMEM_BUDGET,
-                    io_row_bytes=io_row, score_bufs=2)
+    nb = fwd_nb(bh, t, tq, s, qt.dtype.itemsize)
     grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
@@ -263,11 +280,7 @@ def _flash_bwd(emb, tq, residuals, g):
     qt, kt, vt, mask = residuals
     bh, s, t = qt.shape
     scale = float(emb) ** -0.25
-    isz = qt.dtype.itemsize
-    # blocks per head-row: q + g + dq (s*tq each), k + v + dk + dv (s*t), mask
-    io_row = isz * (3 * s * tq + 4 * s * t) + t
-    nb = _choose_nb(bh, t, tq, budget_scale=0.5,
-                    io_row_bytes=io_row, score_bufs=4)
+    nb = bwd_nb(bh, t, tq, s, qt.dtype.itemsize)
     grid, qspec, kvspec, mspec = _specs(bh, t, s, tq, nb)
     # dk/dv accumulate across q-tiles, so they need f32 outputs ONLY when
     # the grid revisits them (t > tq). At the reference's sequence lengths

@@ -155,20 +155,7 @@ def test_choose_nb_vmem_ceiling_short_sequences():
     (t=36->tq=40, s=32, bh=1024 picked nb=256; nb=128 compiles). The
     I/O-aware ceiling must bound it, while the reference LC/SP headline
     shapes keep their tuned nb=8."""
-    from multimodal_supernovae_tpu.ops.pallas_attention import (
-        _FWD_VMEM_BUDGET,
-        _choose_nb,
-    )
-
-    def fwd_nb(bh, t, tq, s, isz=2):
-        io = isz * (2 * s * tq + 2 * s * t) + t
-        return _choose_nb(bh, t, tq, default_budget=_FWD_VMEM_BUDGET,
-                          io_row_bytes=io, score_bufs=2)
-
-    def bwd_nb(bh, t, tq, s, isz=2):
-        io = isz * (3 * s * tq + 4 * s * t) + t
-        return _choose_nb(bh, t, tq, budget_scale=0.5,
-                          io_row_bytes=io, score_bufs=4)
+    from multimodal_supernovae_tpu.ops.pallas_attention import bwd_nb, fwd_nb
 
     # ViT tower shapes (60x60 images, patch 10 -> 36 tokens -> tq=40)
     assert bwd_nb(1024, 40, 40, 32) <= 128

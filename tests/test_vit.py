@@ -112,29 +112,46 @@ def test_config_layer_selects_vit():
     assert cfg2.image_encoder == "convmixer"
 
 
-def test_vit_ignores_global_use_pallas(rng):
-    """The ViT tower's token count is far below the flash kernel's payoff
-    range, so it auto-dispatches per shape instead of inheriting the
-    model-wide use_pallas=True (which at t=36 tokens used to force a Pallas
-    call that failed remote Mosaic compile). On CPU an inherited True would
-    attempt an uncompileable pallas_call; auto-dispatch picks dense."""
-    cfg = tiny_cfg(
-        combinations=("host_galaxy", "lightcurve"),
-        image_encoder="vit",
-        use_pallas=True,  # model-wide flag; LC tower at t=10 -> dense anyway
-        vit_kwargs={"emb": 16, "depth": 1, "heads": 2, "patch_size": 5,
-                    "n_out": 6},
-    )
-    model = CLIPModel(cfg)
+def test_vit_attention_dispatch_resolution(rng):
+    """A model-wide use_pallas=True must not FORCE the flash kernel in the
+    ViT tower (its token count is far below the kernel's payoff range; at
+    t=36 the forced call used to fail remote Mosaic compile) — the tower
+    auto-dispatches per shape. On CPU an inherited True would attempt an
+    uncompileable pallas_call; auto picks dense. The explicit
+    use_pallas=False kill-switch and a vit_kwargs override must both
+    reach the tower (models/clip.py)."""
+    vk = {"emb": 16, "depth": 1, "heads": 2, "patch_size": 5, "n_out": 6}
     batch = tiny_batch(rng, with_img=True)
-    variables = model.init(jax.random.PRNGKey(0), batch)
-    embs = model.apply(variables, batch)
-    assert np.isfinite(np.asarray(embs[0])).all()
-    # an explicit vit_kwargs override still wins
-    cfg2 = tiny_cfg(
-        combinations=("host_galaxy", "lightcurve"),
-        image_encoder="vit",
-        vit_kwargs={"emb": 16, "depth": 1, "heads": 2, "patch_size": 5,
-                    "n_out": 6, "use_pallas": False},
-    )
-    CLIPModel(cfg2).init(jax.random.PRNGKey(0), batch)
+    for kw in (
+        dict(use_pallas=True, vit_kwargs=vk),   # global True -> tower auto
+        dict(use_pallas=False, vit_kwargs=vk),  # kill-switch -> tower dense
+        dict(vit_kwargs={**vk, "use_pallas": False}),  # explicit override
+    ):
+        cfg = tiny_cfg(
+            combinations=("host_galaxy", "lightcurve"),
+            image_encoder="vit", **kw,
+        )
+        model = CLIPModel(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        embs = model.apply(variables, batch)
+        assert np.isfinite(np.asarray(embs[0])).all()
+
+
+def test_unknown_image_encoder_rejected(rng):
+    cfg = tiny_cfg(combinations=("host_galaxy", "lightcurve"),
+                   image_encoder="ViT")  # wrong case: must not fall back
+    batch = tiny_batch(rng, with_img=True)
+    with pytest.raises(ValueError, match="image_encoder"):
+        CLIPModel(cfg).init(jax.random.PRNGKey(0), batch)
+
+
+def test_config_layer_plumbs_vit_use_pallas():
+    run_cfg = {"n_out": 6, "emb": 8, "heads": 2, "transformer_depth": 1}
+    extra = {"combinations": ["host_galaxy"], "image_encoder": "vit",
+             "vit_use_pallas": False}
+    cfg = build_clip_config(run_cfg, extra)
+    assert cfg.vk()["use_pallas"] is False
+    # absent key -> no entry, the model resolves auto/kill-switch itself
+    cfg2 = build_clip_config(run_cfg, {"combinations": ["host_galaxy"],
+                                       "image_encoder": "vit"})
+    assert "use_pallas" not in cfg2.vk()
