@@ -71,6 +71,9 @@ def main():
     variants = [
         ("flash_b256_bf16", bf16, 256, bi),
         ("flash_b256_bf16_fwdonly", bf16, 256, bi),
+        # serving/inference path (embedding export, scripts/infer.py):
+        # forward-only at the large-batch regime
+        ("flash_b1024_bf16_fwdonly", bf16, 1024, bi),
         ("flash_b512_bf16", bf16, 512, bi),
         ("flash_b1024_bf16", bf16, 1024, bi),
         ("flash_b256_f32", dict(use_pallas=True), 256, bi),
