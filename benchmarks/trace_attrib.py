@@ -81,7 +81,12 @@ def parse_trace(logdir: str, steps: int):
     to_ms = lambda us: us / 1e3 / steps
     return {
         "device_lanes": {p: pid_names.get(p, "?") for p in tpu_pids},
-        "total_ms_per_step": round(to_ms(total), 3),
+        # the real step time: the scan's `while` op spans exactly the body.
+        # (The events form a flame graph — jit wrapper > while > ops — so a
+        # SUM over all X events counts every nesting level and is ~4x the
+        # step; it is kept only as a parse-sanity figure.)
+        "scan_body_ms_per_step": round(to_ms(by_op.get("while", 0.0)), 3),
+        "nested_events_sum_ms_per_step": round(to_ms(total), 3),
         "by_category_ms": {k: round(to_ms(v), 3)
                            for k, v in sorted(by_cat.items(),
                                               key=lambda kv: -kv[1])},
