@@ -85,6 +85,14 @@ def main():
         # reference-parity ConvMixer at the same trimodal recipe
         ("flash_trimodal_vit_b256_bf16",
          dict(image_encoder="vit", **bf16), 256, tri),
+        # compute-matched small ViT (emb 64 / depth 4 ~ the ConvMixer's
+        # image-tower cost) — is the option free at equal capacity?
+        ("flash_trimodal_vit_small_b256_bf16",
+         dict(image_encoder="vit",
+              vit_kwargs={"emb": 64, "depth": 4, "heads": 2,
+                          "patch_size": 10, "n_out": 32,
+                          "dropout_prob": 0.0},
+              **bf16), 256, tri),
     ]
     if args.quick:
         variants = variants[:2]
@@ -107,6 +115,8 @@ def main():
                 "dropout_prob": 0.0}  # the reference's meta-encoder defaults
         vit = {"emb": 128, "depth": 6, "heads": 4, "patch_size": 10,
                "n_out": 32, "dropout_prob": 0.0}
+        extra_cfg = dict(extra_cfg)
+        vit = extra_cfg.pop("vit_kwargs", vit)
         cfg = CLIPConfig.create(
             combinations=combos, enc_dim=32, nband=2, logit_scale_init=19.55,
             loss="softmax",
