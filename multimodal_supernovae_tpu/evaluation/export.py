@@ -37,7 +37,27 @@ from typing import Dict, List, Tuple
 import jax
 import numpy as np
 
-from ..data.batching import Batch
+from ..data.batching import MODALITIES, Batch
+
+# Batch fields CLIPModel.encode actually reads per modality
+# (models/clip.py:258-279). err_lc/err_sp are augmentation-only and
+# redshift/label are meta-tower inputs — none belong in a serving
+# contract unless the model uses them.
+ENCODE_FIELDS = {
+    "host_galaxy": ("x_img",),
+    "lightcurve": ("x_lc", "t_lc", "mask_lc"),
+    "spectral": ("x_sp", "t_sp", "mask_sp"),
+    "meta": ("label", "redshift"),
+}
+
+
+def encode_input_fields(combinations) -> Tuple[str, ...]:
+    """The exact Batch fields ``encode`` reads for these modalities."""
+    out = []
+    for m in MODALITIES:
+        if m in combinations:
+            out.extend(ENCODE_FIELDS[m])
+    return tuple(out)
 
 
 def _specs(tree):
@@ -46,12 +66,18 @@ def _specs(tree):
     )
 
 
-def batch_to_dict(batch: Batch) -> Dict:
+def batch_to_dict(batch: Batch, combinations=None) -> Dict:
     """The artifact's input format: a PLAIN dict of the present (non-None)
-    Batch fields — the serving host needs no class from this package."""
+    Batch fields — the serving host needs no class from this package.
+
+    With ``combinations`` the dict is restricted to the fields ``encode``
+    actually reads for those modalities, so the serving contract carries no
+    dead training-only arrays (err_lc/err_sp, unused redshift/label)."""
+    keep = None if combinations is None else set(encode_input_fields(combinations))
     return {f.name: getattr(batch, f.name)
             for f in dataclasses.fields(batch)
-            if getattr(batch, f.name) is not None}
+            if getattr(batch, f.name) is not None
+            and (keep is None or f.name in keep)}
 
 
 def export_encoder(
@@ -63,8 +89,9 @@ def export_encoder(
     """Serialize ``model.encode`` with ``variables`` baked in.
 
     The artifact takes ONE argument — a plain dict of arrays (the
-    ``batch_to_dict`` form of a ``Batch``, exact example shapes/dtypes) —
-    and returns the tuple of L2-normalized per-modality embeddings in
+    ``batch_to_dict(batch, model.cfg.combinations)`` form of a ``Batch``:
+    only the fields ``encode`` reads, exact example shapes/dtypes) — and
+    returns the tuple of L2-normalized per-modality embeddings in
     canonical order (same contract as evaluation/embeddings
     .get_embeddings).
     """
@@ -74,7 +101,7 @@ def export_encoder(
 
     kw = {"platforms": list(platforms)} if platforms else {}
     exported = jax.export.export(jax.jit(encode), **kw)(
-        _specs(batch_to_dict(example_batch))
+        _specs(batch_to_dict(example_batch, model.cfg.combinations))
     )
     return bytes(exported.serialize())
 
@@ -90,5 +117,5 @@ def load_exported(data: bytes):
 
 
 def modality_names(model) -> List[str]:
-    return [m for m in ("host_galaxy", "lightcurve", "spectral", "meta")
-            if m in model.cfg.combinations]
+    """Output-embedding order — the canonical MODALITIES order encode uses."""
+    return [m for m in MODALITIES if m in model.cfg.combinations]

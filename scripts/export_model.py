@@ -36,6 +36,18 @@ def main():
                     help="artifact path; '<out>.json' gets the manifest")
     ap.add_argument("--batch-size", type=int, default=256,
                     help="the artifact's FIXED batch size (static shapes)")
+    ap.add_argument("--lc-len", type=int, default=None,
+                    help="band-blocked light-curve length baked into the "
+                         "artifact (default: run config, else 100); must "
+                         "match the serving data — --check is shape-"
+                         "self-consistent and cannot catch a mismatch")
+    ap.add_argument("--sp-len", type=int, default=None,
+                    help="spectrum length baked into the artifact (default: "
+                         "run config, else 1000 — the real-data default of "
+                         "scripts/train.py; sim-pretrain runs use 220)")
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="host-galaxy cutout size (default: run config, "
+                         "else 60 — the ZTFBTS host PNG size)")
     ap.add_argument("--which", choices=["best", "last"], default="best")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--lowering-platforms", default=None,
@@ -60,24 +72,40 @@ def main():
         modality_names,
     )
     from multimodal_supernovae_tpu.models.factory import (
+        initialize_from_run_dir,
         load_model,
-        load_run_config,
     )
 
-    run_cfg, extra = load_run_config(args.run_dir)
+    # Fail fast on families without an embedding surface (finetune heads,
+    # masked pretrainers) before paying the checkpoint restore.
+    probe_model, run_cfg, extra = initialize_from_run_dir(args.run_dir)
+    if not hasattr(probe_model, "encode"):
+        sys.exit(
+            f"error: {args.run_dir} rebuilds as "
+            f"{type(probe_model).__name__}, which has no embedding encoder "
+            "to export. Export the pretrained CLIP backbone run directory "
+            "instead (the run's extra_args 'pretrain_path')."
+        )
+
     combos = tuple(extra.get("combinations", ("lightcurve",)))
+    # Baked input shapes: flag > run config > the real-data serving defaults
+    # (scripts/train.py / scripts/infer.py real-ZTFBTS branch).
+    lc_len = args.lc_len or int(extra.get("max_lightcurve_data_len", 100))
+    sp_len = args.sp_len or int(extra.get("max_spectral_data_len", 1000))
+    image_size = args.image_size or int(extra.get("image_size", 60))
     ds = make_synthetic_dataset(
         n=args.batch_size,
-        n_max_lc=int(extra.get("max_lightcurve_data_len", 100)),
+        n_max_lc=lc_len,
         nband=int(extra.get("nband", 2)),
-        n_max_sp=int(extra.get("max_spectral_data_len", 220)),
-        image_size=int(extra.get("image_size", 60)),
+        n_max_sp=sp_len,
+        image_size=image_size,
         modalities=combos,
     )
     example = ds.to_device().take(np.arange(args.batch_size))
     model, variables, *_ = load_model(args.run_dir, example, which=args.which)
 
-    platforms = (tuple(args.lowering_platforms.split(","))
+    platforms = (tuple(p.strip() for p in args.lowering_platforms.split(",")
+                       if p.strip())
                  if args.lowering_platforms else None)
     data = export_encoder(model, variables, example, platforms=platforms)
     with open(args.out, "wb") as f:
@@ -85,9 +113,9 @@ def main():
 
     in_spec = {
         k: {"shape": list(np.shape(v)), "dtype": str(np.asarray(v).dtype)}
-        for k, v in batch_to_dict(example).items()
+        for k, v in batch_to_dict(example, model.cfg.combinations).items()
     }
-    _, exported = load_exported(data)
+    fn, exported = load_exported(data)
     manifest = {
         "artifact": os.path.basename(args.out),
         "bytes": len(data),
@@ -105,9 +133,16 @@ def main():
                        "output_modalities")}))
 
     if args.check:
-        fn, _ = load_exported(data)
-        got = fn(batch_to_dict(example))
-        want = model.apply(variables, example, method=model.encode)
+        from multimodal_supernovae_tpu.data.batching import Batch
+
+        d = batch_to_dict(example, model.cfg.combinations)
+        got = fn(d)
+        # jit the live side: the artifact IS the compiled jit(encode), so
+        # the comparison is same-program; an unjitted (op-by-op) reference
+        # legitimately deviates by bf16-matmul fusion differences on TPU.
+        want = jax.jit(
+            lambda d: model.apply(variables, Batch(**d), method=model.encode)
+        )(d)
         dev = max(float(np.abs(np.asarray(g) - np.asarray(w)).max())
                   for g, w in zip(got, want))
         print(f"check: max |artifact - live| = {dev:.3e}")

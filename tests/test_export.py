@@ -10,6 +10,7 @@ import jax
 
 from multimodal_supernovae_tpu.evaluation.export import (
     batch_to_dict,
+    encode_input_fields,
     export_encoder,
     load_exported,
     modality_names,
@@ -25,7 +26,7 @@ def _roundtrip(cfg, batch):
     data = export_encoder(model, variables, batch)
     assert isinstance(data, bytes) and len(data) > 0
     fn, exported = load_exported(data)
-    got = fn(batch_to_dict(batch))
+    got = fn(batch_to_dict(batch, cfg.combinations))
     want = model.apply(variables, batch, method=model.encode)
     assert len(got) == len(want) == len(modality_names(model))
     for g, w in zip(got, want):
@@ -58,7 +59,8 @@ def test_export_artifact_needs_no_model_code(rng):
     variables = model.init(jax.random.PRNGKey(0), batch)
     data = export_encoder(model, variables, batch)
 
-    plain = {k: np.asarray(v) for k, v in batch_to_dict(batch).items()}
+    plain = {k: np.asarray(v)
+             for k, v in batch_to_dict(batch, model.cfg.combinations).items()}
     fn, _ = load_exported(data)
     out = fn(plain)  # numpy dict in, no package classes involved
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
@@ -69,7 +71,8 @@ def test_export_rejects_wrong_shapes(rng):
     batch = tiny_batch(rng)
     variables = model.init(jax.random.PRNGKey(0), batch)
     fn, _ = load_exported(export_encoder(model, variables, batch))
-    bad = batch_to_dict(tiny_batch(rng, b=8))  # exported at b=4
+    # exported at b=4
+    bad = batch_to_dict(tiny_batch(rng, b=8), model.cfg.combinations)
     with pytest.raises(Exception):
         fn(bad)
 
@@ -78,6 +81,30 @@ def test_batch_to_dict_drops_absent_modalities(rng):
     d = batch_to_dict(tiny_batch(rng))  # no image
     assert "x_img" not in d and "x_lc" in d
     assert all(v is not None for v in d.values())
+
+
+def test_serving_contract_excludes_training_only_fields(rng):
+    """The artifact's required inputs are exactly the fields encode reads:
+    no err_lc/err_sp (augmentation-only), no redshift/label unless the
+    model has a meta tower."""
+    assert encode_input_fields(("lightcurve", "spectral")) == (
+        "x_lc", "t_lc", "mask_lc", "x_sp", "t_sp", "mask_sp")
+    assert "redshift" in encode_input_fields(("meta",))
+
+    model = CLIPModel(tiny_cfg())  # lightcurve + spectral, no meta
+    batch = tiny_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    data = export_encoder(model, variables, batch)
+    fn, exported = load_exported(data)
+
+    d = batch_to_dict(batch, model.cfg.combinations)
+    assert set(d) == {"x_lc", "t_lc", "mask_lc", "x_sp", "t_sp", "mask_sp"}
+    # the exported pytree agrees: passing the full batch dict (with err
+    # fields) is a structure mismatch, the filtered dict is accepted
+    with pytest.raises(Exception):
+        fn(batch_to_dict(batch))
+    out = fn(d)
+    assert len(out) == 2
 
 
 @pytest.mark.slow
@@ -137,7 +164,9 @@ def test_export_cli(tmp_path):
     manifest = json.load(open(str(art) + ".json"))
     assert manifest["batch_size"] == 4
     assert manifest["output_modalities"] == ["lightcurve", "spectral"]
-    assert set(manifest["input"]) >= {"x_lc", "t_lc", "mask_lc"}
+    # exactly the fields encode reads — no training-only arrays
+    assert set(manifest["input"]) == {
+        "x_lc", "t_lc", "mask_lc", "x_sp", "t_sp", "mask_sp"}
 
     # the bytes alone are servable
     from multimodal_supernovae_tpu.evaluation.export import load_exported
