@@ -72,17 +72,28 @@ def run_sweep(
     max_runs: Optional[int] = None,
     epochs_override: Optional[int] = None,
     resume: bool = False,
+    parallel_folds: bool = False,
 ):
     """Train every grid point (the wandb.agent loop, script_wandb.py:339).
 
     ``model_builder(run_cfg, extra, nband) -> (model, task, freeze,
     params_override)`` customises model construction (used by the finetune
     and masked-pretraining entry points); default builds a CLIPModel.
-    Returns the list of per-run result dicts.
+    ``parallel_folds=True`` groups grid points that differ ONLY in
+    ``foldnumber`` and trains each group as ONE vmapped program
+    (training/ensemble.py) — same run directories, k folds in roughly one
+    fold's wall time. Returns the list of per-run result dicts.
     """
     extra = sweep.extra_args
     results = []
     scheduler = SweepScheduler(sweep, max_runs=max_runs)
+
+    if parallel_folds:
+        return _run_sweep_parallel_folds(
+            sweep, dataset, nband, folds, sweep_dir, scheduler,
+            model_builder=model_builder, mesh=mesh,
+            epochs_override=epochs_override, resume=resume,
+        )
 
     for k in range(scheduler.n_runs):
         run_cfg = scheduler.suggest()
@@ -102,20 +113,9 @@ def run_sweep(
         train_ds = dataset.subset(inds_train)
         val_ds = dataset.subset(inds_val)
 
-        if model_builder is not None:
-            model, task, freeze, params_override = model_builder(
-                run_cfg, extra, nband
-            )
-        else:
-            model = CLIPModel(build_clip_config(run_cfg, extra, nband))
-            task = task_of(extra)
-            freeze, params_override = _default_pretrain_surgery(
-                run_cfg, extra, model
-            )
-
-        tcfg = build_trainer_config(run_cfg, extra)
-        if epochs_override is not None:
-            tcfg.epochs = epochs_override
+        model, task, freeze, params_override, tcfg = _build_run(
+            run_cfg, extra, nband, model_builder, epochs_override
+        )
         trainer = Trainer(
             model,
             task=task,
@@ -145,6 +145,124 @@ def run_sweep(
 
         _post_fit_reports(model, res, train_ds, val_ds, task, run_dir)
     return results
+
+
+def _build_run(run_cfg, extra, nband, model_builder, epochs_override):
+    """Model/task/freeze/surgery/trainer-config for one grid point (shared
+    by the sequential loop and the parallel-folds path)."""
+    if model_builder is not None:
+        model, task, freeze, params_override = model_builder(
+            run_cfg, extra, nband
+        )
+    else:
+        model = CLIPModel(build_clip_config(run_cfg, extra, nband))
+        task = task_of(extra)
+        freeze, params_override = _default_pretrain_surgery(
+            run_cfg, extra, model
+        )
+    tcfg = build_trainer_config(run_cfg, extra)
+    if epochs_override is not None:
+        tcfg.epochs = epochs_override
+    return model, task, freeze, params_override, tcfg
+
+
+def _run_sweep_parallel_folds(
+    sweep: SweepConfig,
+    dataset: ArrayDataset,
+    nband: int,
+    folds,
+    sweep_dir: str,
+    scheduler: SweepScheduler,
+    model_builder: Optional[Callable] = None,
+    mesh=None,
+    epochs_override: Optional[int] = None,
+    resume: bool = False,
+):
+    """k-fold grid points as vmapped member groups (training/ensemble.py).
+
+    Grid points are grouped by their config minus ``foldnumber``; each
+    group trains as ONE stacked program writing the same per-run
+    directories (``run-<k>``) the sequential path would. The reference's
+    flagship real-data recipe — 5 folds x batch 32, configs/config_grid
+    .yaml foldnumber values [0..4] — becomes one program instead of five.
+    """
+    from .ensemble import Member, fit_members
+
+    if sweep.method != "grid":
+        raise ValueError(
+            "parallel folds require method: grid (random/bayes schedules "
+            "depend on sequential observations)"
+        )
+    if resume:
+        raise NotImplementedError(
+            "parallel folds do not support --resume yet; rerun without "
+            "--parallel-folds to resume individual runs"
+        )
+    extra = sweep.extra_args
+    cfgs = []
+    while True:
+        c = scheduler.suggest()
+        if c is None:
+            break
+        cfgs.append(c)
+
+    groups: Dict[Any, list] = {}
+    for k, run_cfg in enumerate(cfgs):
+        key = tuple(
+            sorted((kk, repr(v)) for kk, v in run_cfg.items()
+                   if kk != "foldnumber")
+        )
+        groups.setdefault(key, []).append((k, run_cfg))
+
+    indexed_results: Dict[int, Dict[str, Any]] = {}
+    for group in groups.values():
+        run_cfg0 = group[0][1]
+        foldable = (
+            folds is not None
+            and len(group) > 1
+            and all("foldnumber" in rc for _, rc in group)
+        )
+        model, task, freeze, params_override, tcfg = _build_run(
+            run_cfg0, extra, nband, model_builder, epochs_override
+        )
+        set_seed(int(run_cfg0.get("seed", 0)))
+        members = []
+        for k, rc in group:
+            inds_train, inds_val = split_for_run(
+                len(dataset),
+                float(extra.get("val_fraction", 0.2)),
+                int(rc.get("seed", 0)),
+                folds=folds if foldable else None,
+                foldnumber=rc.get("foldnumber") if foldable else None,
+            )
+            members.append(
+                Member(
+                    name=f"run-{k}",
+                    seed=int(rc.get("seed", 0)),
+                    train_indices=inds_train,
+                    val_indices=inds_val,
+                    config_dump=dict(rc),
+                )
+            )
+        res_group = fit_members(
+            model, task, tcfg, dataset, members,
+            run_dir=sweep_dir, mesh=mesh,
+            n_classes=int(extra.get("n_classes", 5)),
+            freeze=freeze, params_override=params_override,
+        )
+        for (k, rc), m in zip(group, members):
+            res = dict(res_group["members"][m.name])
+            res["run_dir"] = os.path.join(sweep_dir, m.name)
+            res["run_cfg"] = rc
+            indexed_results[k] = res
+            _post_fit_reports(
+                model, res,
+                dataset.subset(m.train_indices),
+                dataset.subset(m.val_indices),
+                task, res["run_dir"],
+            )
+
+    return [indexed_results[k] for k in sorted(indexed_results)]
 
 
 def _sweep_objective(res: Dict[str, Any], sweep: SweepConfig) -> Optional[float]:

@@ -98,6 +98,7 @@ def make_epoch_runner(
     noise_level_mag: float = 0.0,
     rotate_images: bool = True,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Whole-epoch training as one jitted scan.
 
@@ -105,6 +106,8 @@ def make_epoch_runner(
     where ``data`` is the device-resident full-dataset Batch and
     ``index_plan`` is (steps, batch_size) int32. Different epoch lengths
     retrace, so the trainer keeps plans a fixed shape across epochs.
+    ``jit=False`` returns the raw function (training/ensemble.py vmaps it
+    over a stacked member axis before jitting).
     """
     step = make_train_step(
         model, gather_axis, noise_level_img, noise_level_mag, rotate_images
@@ -121,6 +124,8 @@ def make_epoch_runner(
         (state, _), losses = jax.lax.scan(body, (state, key), index_plan)
         return state, losses
 
+    if not jit:
+        return run_epoch
     return jax.jit(run_epoch, donate_argnums=(0,) if donate else ())
 
 
@@ -128,6 +133,7 @@ def make_eval_runner(
     model,
     gather_axis: Optional[str] = None,
     rotate_images: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Whole-validation-epoch scan: per-step loss plus whatever auxiliary
     outputs the model's loss_fn emits (embeddings / preds / logits), stacked
@@ -157,4 +163,6 @@ def make_eval_runner(
         _, (losses, auxes) = jax.lax.scan(body, key, index_plan)
         return losses, auxes
 
+    if not jit:
+        return run_eval
     return jax.jit(run_eval)

@@ -504,52 +504,70 @@ class Trainer:
 
     @staticmethod
     def _to_host(x):
-        """Host readback that also works for multi-host sharded outputs:
-        replicated/local arrays convert directly; arrays with shards on
-        other processes are gathered over DCN first."""
-        if (
-            isinstance(x, jax.Array)
-            and jax.process_count() > 1
-            and not (x.is_fully_addressable or x.is_fully_replicated)
-        ):
-            from jax.experimental import multihost_utils
-
-            x = multihost_utils.process_allgather(x, tiled=True)
-        return np.asarray(x)
+        return _to_host(x)
 
     def _task_metrics(
         self, aux: Dict[str, Any], val_ds: ArrayDataset, n_val: int
     ) -> Dict[str, float]:
-        aux = jax.tree_util.tree_map(self._to_host, aux)
-        out: Dict[str, float] = {}
-        if self.task == "contrastive":
-            embs = [
-                e.reshape(-1, e.shape[-1])[:n_val] for e in aux["embeddings"]
-            ]
-            # AUC_val (single pair) or AUC_val{1..k} (models_multimodal.py:527-556)
-            if len(embs) == 2:
-                out["AUC_val"] = float(retrieval_auc(embs[0], embs[1]))
-            else:
-                count = 1
-                aucs = []
-                for i in range(len(embs) - 1):
-                    for j in range(i + 1, len(embs)):
-                        a = float(retrieval_auc(embs[i], embs[j]))
-                        out[f"AUC_val{count}"] = a
-                        aucs.append(a)
-                        count += 1
-                out["AUC_val_mean"] = float(np.mean(aucs))
-        elif self.task == "regression":
-            pred = np.asarray(aux["pred"]).reshape(-1)[:n_val]
-            true = val_ds.arrays["redshift"][:n_val]
-            out["R2_val"] = float(r2_score(jnp.asarray(true), jnp.asarray(pred)))
-        elif self.task == "classification":
-            logits = np.asarray(aux["logits"])
-            logits = logits.reshape(-1, logits.shape[-1])[:n_val]
-            pred = logits.argmax(axis=-1)
-            true = val_ds.arrays["label"][:n_val]
-            out["f1_val"] = float(
-                macro_f1(jnp.asarray(true), jnp.asarray(pred), self.n_classes)
-            )
-        # masked: val_loss only
-        return out
+        return compute_task_metrics(
+            self.task, aux, val_ds, n_val, self.n_classes
+        )
+
+
+def _to_host(x):
+    """Host readback that also works for multi-host sharded outputs:
+    replicated/local arrays convert directly; arrays with shards on
+    other processes are gathered over DCN first."""
+    if (
+        isinstance(x, jax.Array)
+        and jax.process_count() > 1
+        and not (x.is_fully_addressable or x.is_fully_replicated)
+    ):
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
+def compute_task_metrics(
+    task: str,
+    aux: Dict[str, Any],
+    val_ds: ArrayDataset,
+    n_val: int,
+    n_classes: int = 5,
+) -> Dict[str, float]:
+    """Per-task validation metrics from the eval scan's stacked aux outputs
+    (shared by Trainer and training/ensemble.fit_members)."""
+    aux = jax.tree_util.tree_map(_to_host, aux)
+    out: Dict[str, float] = {}
+    if task == "contrastive":
+        embs = [
+            e.reshape(-1, e.shape[-1])[:n_val] for e in aux["embeddings"]
+        ]
+        # AUC_val (single pair) or AUC_val{1..k} (models_multimodal.py:527-556)
+        if len(embs) == 2:
+            out["AUC_val"] = float(retrieval_auc(embs[0], embs[1]))
+        else:
+            count = 1
+            aucs = []
+            for i in range(len(embs) - 1):
+                for j in range(i + 1, len(embs)):
+                    a = float(retrieval_auc(embs[i], embs[j]))
+                    out[f"AUC_val{count}"] = a
+                    aucs.append(a)
+                    count += 1
+            out["AUC_val_mean"] = float(np.mean(aucs))
+    elif task == "regression":
+        pred = np.asarray(aux["pred"]).reshape(-1)[:n_val]
+        true = val_ds.arrays["redshift"][:n_val]
+        out["R2_val"] = float(r2_score(jnp.asarray(true), jnp.asarray(pred)))
+    elif task == "classification":
+        logits = np.asarray(aux["logits"])
+        logits = logits.reshape(-1, logits.shape[-1])[:n_val]
+        pred = logits.argmax(axis=-1)
+        true = val_ds.arrays["label"][:n_val]
+        out["f1_val"] = float(
+            macro_f1(jnp.asarray(true), jnp.asarray(pred), n_classes)
+        )
+    # masked: val_loss only
+    return out

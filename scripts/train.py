@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="restore each run's ckpt_last and continue training")
+    ap.add_argument("--parallel-folds", action="store_true",
+                    help="train grid points that differ only in foldnumber "
+                         "as ONE vmapped program (k folds in ~one fold's "
+                         "wall time; training/ensemble.py)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture an XLA profiler trace of training here")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -122,6 +126,7 @@ def main():
             max_runs=args.max_runs or extra.get("nruns"),
             epochs_override=args.epochs,
             resume=args.resume,
+            parallel_folds=args.parallel_folds,
         )
     for r in results:
         print(
