@@ -144,13 +144,19 @@ def main():
         )
     )
     for n, b, pallas in grid:
-        r = measure(n, b, pallas, args.quick)
+        try:
+            r = measure(n, b, pallas, args.quick)
+        except Exception as e:  # e.g. dense attention OOMs at N=8 x B=256
+            r = {
+                "n_members": n, "batch": b, "use_pallas": pallas,
+                "error": f"{type(e).__name__}: {str(e)[:400]}",
+            }
         results.append(r)
         print(json.dumps(r), flush=True)
-
+        if not args.quick:  # persist incrementally — points take minutes
+            with open(args.out, "w") as f:
+                json.dump({"results": results, "round": 3}, f, indent=2)
     if not args.quick:
-        with open(args.out, "w") as f:
-            json.dump({"results": results, "round": 3}, f, indent=2)
         print(f"wrote {args.out}")
 
 

@@ -3,14 +3,17 @@
 TPU-first capability with NO reference counterpart: the reference trains
 k-fold members and sweep points strictly sequentially — one ``wandb.agent``
 run at a time (script_wandb.py:339), five folds meaning five full trainings
-(configs/config_grid.yaml ``foldnumber: values: [0..4]``). At the
-reference's encoder sizes (emb <= 64, head_dim 8/16) a single training step
-uses a few percent of the MXU (benchmarks/PERF.md §MFU), so stacking N
+(configs/config_grid.yaml ``foldnumber: values: [0..4]``). Stacking N
 independent training states and vmapping the SAME jitted epoch scan over
-the member axis multiplies the batch dimension of every matmul: N folds /
-seeds / learning rates train in far less than N single-member wall times on
-one chip. With a device mesh the member axis is sharded instead —
-embarrassingly parallel (zero collectives), members spread over chips.
+the member axis multiplies the batch dimension of every matmul, and N runs
+share one compile and one host loop. Measured on the v5e
+(benchmarks/ensemble_results.json): at the reference's real-data batch 32
+five folds cost 3.6x one fold's step time (1.37x wall speedup) + one
+~4-min cold compile instead of five; at the saturated headline batch 256
+the member axis costs ~linear in step time and the gain is the
+compile/launch amortization. With a device mesh the member axis is sharded
+instead — embarrassingly parallel (zero collectives), members spread over
+chips.
 
 Semantics: member i trains exactly like a ``Trainer.fit`` run with
 ``cfg.seed = member.seed`` — same init key, same host-RNG shuffles, same

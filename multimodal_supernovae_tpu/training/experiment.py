@@ -66,7 +66,6 @@ def run_sweep(
     folds,
     sweep_dir: str,
     model_builder: Optional[Callable] = None,
-    state_initializer: Optional[Callable] = None,
     mesh=None,
     use_wandb: bool = False,
     max_runs: Optional[int] = None,
@@ -81,14 +80,22 @@ def run_sweep(
     and masked-pretraining entry points); default builds a CLIPModel.
     ``parallel_folds=True`` groups grid points that differ ONLY in
     ``foldnumber`` and trains each group as ONE vmapped program
-    (training/ensemble.py) — same run directories, k folds in roughly one
-    fold's wall time. Returns the list of per-run result dicts.
+    (training/ensemble.py) — same run directories; measured at the
+    reference's real-data batch 32, 5 folds cost 3.6x one fold's step time
+    (1.37x wall speedup) plus one XLA compile instead of five
+    (benchmarks/ensemble_results.json). Returns the per-run result dicts.
     """
     extra = sweep.extra_args
     results = []
     scheduler = SweepScheduler(sweep, max_runs=max_runs)
 
     if parallel_folds:
+        if use_wandb:
+            import warnings
+
+            warnings.warn(
+                "parallel folds log metrics.jsonl only; --wandb is ignored"
+            )
         return _run_sweep_parallel_folds(
             sweep, dataset, nband, folds, sweep_dir, scheduler,
             model_builder=model_builder, mesh=mesh,

@@ -34,8 +34,9 @@ def main():
                     help="restore each run's ckpt_last and continue training")
     ap.add_argument("--parallel-folds", action="store_true",
                     help="train grid points that differ only in foldnumber "
-                         "as ONE vmapped program (k folds in ~one fold's "
-                         "wall time; training/ensemble.py)")
+                         "as ONE vmapped program (5 folds @ batch 32: 1.37x "
+                         "step speedup + one compile instead of five; "
+                         "training/ensemble.py)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture an XLA profiler trace of training here")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],

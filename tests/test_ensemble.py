@@ -307,6 +307,53 @@ def test_fit_members_sharded_member_axis():
         assert_tree_close(a["state"].params, b["state"].params)
 
 
+def test_fit_members_freeze_matches_sequential():
+    """The finetune recipe's frozen-backbone optimizer inside the stacked
+    program: member trajectories equal sequential frozen Trainer runs, and
+    frozen leaves never move from each member's own init."""
+    from multimodal_supernovae_tpu.training.optim import (
+        freeze_encoder_except_projection,
+    )
+
+    ds = make_synthetic_dataset(n=48, n_max_lc=10, n_max_sp=12, seed=5)
+    members = two_fold_members(seeds=(0, 1))
+    cfg = TrainerConfig(epochs=2, batch_size=8, lr=3e-3, seed=0)
+    model = clip_model(loss="softmax", logit_scale_init=10.0)
+    freeze = freeze_encoder_except_projection("lightcurve_encoder")
+
+    res = fit_members(
+        model, "contrastive", cfg, ds, members, freeze=freeze
+    )
+    example = ds.host_batch(np.arange(8))
+    for m in members:
+        c = TrainerConfig(**{**cfg.__dict__, "seed": m.seed})
+        trainer = Trainer(model, task="contrastive", cfg=c, run_dir=None,
+                          freeze=freeze)
+        seq = trainer.fit(
+            ds.subset(m.train_indices), ds.subset(m.val_indices)
+        )
+        par = res["members"][m.name]
+        np.testing.assert_allclose(
+            par["history"]["train_loss"], seq["history"]["train_loss"],
+            atol=1e-5, rtol=1e-5)
+        assert_tree_close(par["state"].params, seq["state"].params)
+        # frozen leaves stay at this member's OWN init; projection moves
+        init = model.init(jax.random.PRNGKey(m.seed), example)["params"]
+        enc = par["state"].params["lightcurve_encoder"]
+        np.testing.assert_allclose(
+            np.asarray(enc["embedding_mag"]["kernel"]),
+            np.asarray(
+                init["lightcurve_encoder"]["embedding_mag"]["kernel"]
+            ),
+            atol=1e-7,
+        )
+        assert not np.allclose(
+            np.asarray(enc["projection"]["kernel"]),
+            np.asarray(init["lightcurve_encoder"]["projection"]["kernel"]),
+            atol=1e-7,
+        )
+
+
 def dataclass_copy(m: Member) -> Member:
     return Member(m.name, m.seed, np.array(m.train_indices),
                   np.array(m.val_indices), m.lr, m.config_dump)
