@@ -36,6 +36,7 @@ fold sizes tie (the stratified k-fold case up to remainder ±1).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -44,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import orbax.checkpoint as ocp
 
 from ..data.batching import ArrayDataset, Batch, epoch_indices
 from ..parallel.mesh import DATA_AXIS
@@ -223,6 +225,94 @@ def member_val_plan(member: Member, batch_size: int, steps: int) -> np.ndarray:
 # -- the driver ----------------------------------------------------------------
 
 
+def _stacked_state_dict(state: TrainState) -> Dict[str, Any]:
+    d = {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step}
+    if state.batch_stats is not None:
+        d["batch_stats"] = state.batch_stats
+    return d
+
+
+def _stacked_state_from_dict(template: TrainState, d: Dict[str, Any]) -> TrainState:
+    return template.replace(
+        params=d["params"], opt_state=d["opt_state"], step=d["step"],
+        batch_stats=d.get("batch_stats", template.batch_stats),
+    )
+
+
+class _EnsembleCheckpoint:
+    """Preemption-safe resume for the STACKED program: one orbax save per
+    epoch under ``<run_dir>/_ensemble/`` holding the current / best-snapshot /
+    stop-snapshot stacked states, plus a ``bookkeeping.json`` sidecar with the
+    host-side early-stopping state. One save covers all N members (the
+    per-member ckpt_best/ckpt_last contract is still written at the end).
+    ``max_to_keep=2`` so a crash between the state save and the sidecar write
+    leaves the previous epoch restorable."""
+
+    def __init__(self, ckpt_dir: str):
+        self.dir = os.path.abspath(ckpt_dir)
+        self._mgr = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(max_to_keep=2)
+        )
+
+    def save(self, epoch: int, states, best_states, last_states,
+             book: Dict[str, Any]) -> None:
+        payload = {
+            "cur": _stacked_state_dict(states),
+            "best": _stacked_state_dict(
+                states if best_states is None else best_states
+            ),
+            "last": _stacked_state_dict(
+                states if last_states is None else last_states
+            ),
+        }
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        book = dict(book, epoch=epoch,
+                    have_best=best_states is not None,
+                    have_last=last_states is not None)
+        tmp = os.path.join(self.dir, "bookkeeping.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(book, f)
+        os.replace(tmp, os.path.join(self.dir, "bookkeeping.json"))
+
+    def try_restore(self, template: TrainState):
+        """Returns (states, best_states, last_states, book) or None when no
+        complete checkpoint exists."""
+        path = os.path.join(self.dir, "bookkeeping.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            book = json.load(f)
+        epoch = int(book["epoch"])
+        if epoch not in self._mgr.all_steps():
+            raise RuntimeError(
+                f"ensemble bookkeeping points at epoch {epoch} but saved "
+                f"steps are {sorted(self._mgr.all_steps())} — the run dir "
+                "is inconsistent; delete _ensemble/ to restart fresh"
+            )
+        sd = _stacked_state_dict(template)
+        restored = self._mgr.restore(
+            epoch,
+            args=ocp.args.StandardRestore(
+                {"cur": sd, "best": sd, "last": sd}
+            ),
+        )
+        states = _stacked_state_from_dict(template, restored["cur"])
+        best_states = (
+            _stacked_state_from_dict(template, restored["best"])
+            if book["have_best"] else None
+        )
+        last_states = (
+            _stacked_state_from_dict(template, restored["last"])
+            if book["have_last"] else None
+        )
+        return states, best_states, last_states, book
+
+    def close(self):
+        self._mgr.close()
+
+
 def _member_sharding(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -255,6 +345,8 @@ def fit_members(
     mode: Optional[str] = None,
     freeze=None,
     params_override: Optional[Callable] = None,
+    resume: bool = False,
+    ensemble_dir: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Train all ``members`` simultaneously as ONE vmapped jitted program.
 
@@ -270,6 +362,11 @@ def fit_members(
     With ``mesh``, states/plans/keys are sharded member-axis over the data
     axis (len(members) must divide it evenly times); the dataset is
     replicated. No collectives are introduced — members are independent.
+
+    With ``run_dir``, one ensemble-level checkpoint of the stacked state is
+    written per epoch (``<run_dir>/_ensemble/``); ``resume=True`` restores
+    it and continues — the same preemption-safety ``Trainer.fit`` has,
+    compatible with ``scripts/supervise.py``.
     """
     if not members:
         raise ValueError("no members")
@@ -368,10 +465,14 @@ def fit_members(
             states, [cfg.lr if lr is None else lr for lr in lrs]
         )
     states = _put(states, mesh)
-    # Best-so-far snapshots, kept on device. NEVER an alias of ``states``:
-    # the epoch runner donates its input state buffers, so snapshots must be
-    # fresh jit outputs (_select_members below always produces new buffers).
+    # Best-so-far and at-stop snapshots, kept on device. NEVER aliases of
+    # ``states``: the epoch runner donates its input state buffers, so
+    # snapshots must be fresh jit outputs (_select_members below always
+    # produces new buffers). ``last_states`` freezes a member's state at its
+    # early-stop epoch — the static stacked program keeps training inactive
+    # members, and those extra epochs must not leak into its results.
     best_states = None
+    last_states = None
 
     run_epoch = make_ensemble_epoch_runner(
         model,
@@ -398,7 +499,39 @@ def fit_members(
     epochs_run = np.zeros(n, dtype=int)
     t_start = time.time()
 
-    for epoch in range(cfg.epochs):
+    if ensemble_dir is None and run_dir:
+        ensemble_dir = os.path.join(run_dir, "_ensemble")
+    ens_ckpt = _EnsembleCheckpoint(ensemble_dir) if ensemble_dir else None
+    start_epoch = 0
+    if resume and ens_ckpt is not None:
+        restored = ens_ckpt.try_restore(states)
+        if restored is not None:
+            states, best_states, last_states, book = restored
+            if book.get("names") != names:
+                raise RuntimeError(
+                    f"resume member mismatch: checkpoint has "
+                    f"{book.get('names')}, run has {names}"
+                )
+            history = book["history"]
+            metric_rows = book["metric_rows"]
+            best = book["best"]
+            since_best = np.asarray(book["since_best"], dtype=int)
+            active = np.asarray(book["active"], dtype=bool)
+            epochs_run = np.asarray(book["epochs_run"], dtype=int)
+            start_epoch = int(book["epoch"]) + 1
+            # advance the host RNG/key streams past the completed epochs so
+            # the resumed epochs see exactly the shuffles/augmentation keys
+            # an uninterrupted run would
+            for _ in range(start_epoch):
+                for i, m in enumerate(members):
+                    member_train_plan(m, cfg.batch_size, rngs[i], steps)
+                    root_keys[i], _, _ = jax.random.split(root_keys[i], 3)
+
+    epoch_range = (
+        range(start_epoch, cfg.epochs) if active.any() else range(0)
+    )
+    epoch = start_epoch - 1
+    for epoch in epoch_range:
         plans = _put(
             np.stack(
                 [
@@ -427,6 +560,7 @@ def fit_members(
             val_losses = np.asarray(jax.device_get(val_losses))
 
         improved = np.zeros(n, dtype=bool)
+        stopped = np.zeros(n, dtype=bool)
         for i, m in enumerate(members):
             if not active[i]:
                 continue
@@ -481,14 +615,44 @@ def fit_members(
                     since_best[i] += 1
                 if since_best[i] >= cfg.patience:
                     active[i] = False
+                    stopped[i] = True
 
         if improved.any():
             src = states if best_states is None else best_states
             best_states = _select_members(
                 _put(jnp.asarray(improved), mesh), states, src
             )
+        if stopped.any():
+            # freeze each newly-stopped member's state at its stop epoch
+            src = states if last_states is None else last_states
+            last_states = _select_members(
+                _put(jnp.asarray(stopped), mesh), states, src
+            )
+        if ens_ckpt is not None:
+            ens_ckpt.save(
+                epoch, states, best_states, last_states,
+                {
+                    "names": names,
+                    "history": history,
+                    "metric_rows": metric_rows,
+                    "best": best,
+                    "since_best": since_best.tolist(),
+                    "active": active.tolist(),
+                    "epochs_run": epochs_run.tolist(),
+                },
+            )
         if not active.any():
             break
+
+    # Final per-member states: live state for members that ran to the end,
+    # the at-stop snapshot for early-stopped ones (sequential semantics —
+    # training past the stop epoch must not leak into the results).
+    if last_states is not None:
+        final_states = _select_members(
+            _put(jnp.asarray(active), mesh), states, last_states
+        )
+    else:
+        final_states = states
 
     # end-of-run checkpoints: best snapshot + final state per member
     results: Dict[str, Any] = {"members": {}, "wall_time_s": time.time() - t_start}
@@ -514,7 +678,7 @@ def fit_members(
             if last_epoch >= 0 and (
                 last_epoch != best[i]["epoch"] or best[i]["value"] is None
             ):
-                ckpts.save(last_epoch, unstack_member(states, i), {})
+                ckpts.save(last_epoch, unstack_member(final_states, i), {})
             ckpts.wait()
             res["best_ckpt_epoch"] = ckpts.best_epoch()
             ckpts.close()
@@ -535,9 +699,11 @@ def fit_members(
                     summary["best_auc"] = float(np.max(aucs))
                 loggers[i].set_summary(**summary)
                 loggers[i].close()
-        res["state"] = unstack_member(states, i)
+        res["state"] = unstack_member(final_states, i)
         results["members"][m.name] = res
-    results["states"] = states
+    results["states"] = final_states
     results["best_states"] = best_states
+    if ens_ckpt is not None:
+        ens_ckpt.close()
     _fit_end_barrier()
     return results

@@ -200,11 +200,6 @@ def _run_sweep_parallel_folds(
             "parallel folds require method: grid (random/bayes schedules "
             "depend on sequential observations)"
         )
-    if resume:
-        raise NotImplementedError(
-            "parallel folds do not support --resume yet; rerun without "
-            "--parallel-folds to resume individual runs"
-        )
     extra = sweep.extra_args
     cfgs = []
     while True:
@@ -222,7 +217,7 @@ def _run_sweep_parallel_folds(
         groups.setdefault(key, []).append((k, run_cfg))
 
     indexed_results: Dict[int, Dict[str, Any]] = {}
-    for group in groups.values():
+    for gi, group in enumerate(groups.values()):
         run_cfg0 = group[0][1]
         foldable = (
             folds is not None
@@ -256,6 +251,8 @@ def _run_sweep_parallel_folds(
             run_dir=sweep_dir, mesh=mesh,
             n_classes=int(extra.get("n_classes", 5)),
             freeze=freeze, params_override=params_override,
+            resume=resume,
+            ensemble_dir=os.path.join(sweep_dir, f"_ensemble-g{gi}"),
         )
         for (k, rc), m in zip(group, members):
             res = dict(res_group["members"][m.name])

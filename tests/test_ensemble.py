@@ -264,7 +264,7 @@ def test_fit_members_early_stop_bookkeeping():
     for m in members:
         m.train_indices = np.arange(24)
         m.val_indices = np.arange(24, 32)
-    cfg = TrainerConfig(epochs=8, batch_size=8, lr=3e-3, seed=0, patience=2)
+    cfg = TrainerConfig(epochs=14, batch_size=8, lr=1e-2, seed=0, patience=1)
     model = clip_model(loss="softmax", logit_scale_init=10.0)
     res = fit_members(model, "contrastive", cfg, ds, members)
     for m in members:
@@ -274,6 +274,13 @@ def test_fit_members_early_stop_bookkeeping():
         seq = sequential_fit(model, "contrastive", cfg, ds, m)
         assert par["epochs_run"] == seq["epochs_run"]
         assert par["best"]["epoch"] == seq["best"]["epoch"]
+        # an early-stopped member's final state is its state AT the stop
+        # epoch — the stacked program's extra epochs must not leak in
+        assert_tree_close(par["state"].params, seq["state"].params)
+    # the members genuinely stopped at different epochs (else the snapshot
+    # path was never exercised)
+    runs = [res["members"][m.name]["epochs_run"] for m in members]
+    assert len(set(runs)) > 1 or runs[0] < cfg.epochs
 
 
 def test_fit_members_sharded_member_axis():
@@ -453,17 +460,87 @@ def test_run_sweep_parallel_folds_reload(tmp_path):
     assert names == ["lightcurve", "spectral"]
 
 
-def test_run_sweep_parallel_folds_guards(tmp_path):
+def test_run_sweep_parallel_folds_requires_grid(tmp_path):
+    import yaml as _yaml
+
     from multimodal_supernovae_tpu.config import load_sweep
     from multimodal_supernovae_tpu.training.experiment import (
         make_sweep_dir,
         run_sweep,
     )
 
-    sweep = load_sweep(_fold_sweep_yaml(tmp_path, kfolds=2))
+    path = _fold_sweep_yaml(tmp_path, kfolds=2)
+    with open(path) as f:
+        raw = _yaml.safe_load(f)
+    raw["method"] = "random"
+    with open(path, "w") as f:
+        _yaml.safe_dump(raw, f)
+    sweep = load_sweep(path)
     ds = make_synthetic_dataset(n=24, n_max_lc=8, nband=2, n_max_sp=64,
                                 seed=2)
     sweep_dir = make_sweep_dir(sweep, str(tmp_path), "guard")
-    with pytest.raises(NotImplementedError, match="resume"):
+    with pytest.raises(ValueError, match="grid"):
         run_sweep(sweep, ds, nband=2, folds=None, sweep_dir=sweep_dir,
-                  parallel_folds=True, resume=True)
+                  parallel_folds=True)
+
+
+def test_fit_members_resume_continues_identically(tmp_path):
+    """Preemption-safe resume: 2 epochs + resume to 4 == straight 4 epochs
+    (states, histories, metrics), via the per-epoch ensemble checkpoint."""
+    import dataclasses as dc
+
+    ds = make_synthetic_dataset(n=48, n_max_lc=10, n_max_sp=12, seed=6)
+    model = clip_model(loss="softmax", logit_scale_init=10.0)
+    cfg4 = TrainerConfig(epochs=4, batch_size=8, lr=3e-3, seed=0,
+                         noise_level_mag=1.0)
+
+    full = fit_members(
+        model, "contrastive", cfg4, ds,
+        two_fold_members(seeds=(3, 7)), run_dir=str(tmp_path / "full")
+    )
+
+    rdir = str(tmp_path / "resumed")
+    cfg2 = dc.replace(cfg4, epochs=2)
+    fit_members(model, "contrastive", cfg2, ds,
+                two_fold_members(seeds=(3, 7)), run_dir=rdir)
+    res = fit_members(model, "contrastive", cfg4, ds,
+                      two_fold_members(seeds=(3, 7)), run_dir=rdir,
+                      resume=True)
+
+    for m in two_fold_members(seeds=(3, 7)):
+        a, b = full["members"][m.name], res["members"][m.name]
+        np.testing.assert_allclose(
+            a["history"]["train_loss"], b["history"]["train_loss"],
+            atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            a["history"]["val_loss"], b["history"]["val_loss"],
+            atol=1e-5, rtol=1e-5)
+        assert a["best"]["epoch"] == b["best"]["epoch"]
+        assert a["epochs_run"] == b["epochs_run"]
+        assert_tree_close(a["state"].params, b["state"].params)
+
+    # resuming an already-complete run trains nothing and reproduces results
+    res2 = fit_members(model, "contrastive", cfg4, ds,
+                       two_fold_members(seeds=(3, 7)), run_dir=rdir,
+                       resume=True)
+    for m in two_fold_members(seeds=(3, 7)):
+        assert (res2["members"][m.name]["epochs_run"]
+                == full["members"][m.name]["epochs_run"])
+        assert_tree_close(
+            res2["members"][m.name]["state"].params,
+            res["members"][m.name]["state"].params, atol=0, rtol=0)
+
+
+def test_fit_members_resume_rejects_member_mismatch(tmp_path):
+    ds = make_synthetic_dataset(n=48, n_max_lc=10, n_max_sp=12, seed=7)
+    model = clip_model(loss="softmax", logit_scale_init=10.0)
+    cfg = TrainerConfig(epochs=1, batch_size=8, lr=3e-3, seed=0)
+    rdir = str(tmp_path)
+    fit_members(model, "contrastive", cfg, ds,
+                two_fold_members(seeds=(0, 1)), run_dir=rdir)
+    bad = two_fold_members(seeds=(0, 1))
+    bad[1] = Member("other-name", 1, bad[1].train_indices,
+                    bad[1].val_indices)
+    with pytest.raises(RuntimeError, match="member mismatch"):
+        fit_members(model, "contrastive", cfg, ds, bad, run_dir=rdir,
+                    resume=True)
