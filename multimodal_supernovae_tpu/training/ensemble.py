@@ -53,7 +53,12 @@ from ..parallel.sharding import replicated
 from .checkpoint import CheckpointManager, save_run_sidecars
 from .state import TrainState
 from .step import make_epoch_runner, make_eval_runner
-from .trainer import TrainerConfig, compute_task_metrics, _fit_end_barrier
+from .trainer import (
+    TrainerConfig,
+    compute_task_metrics,
+    _fit_end_barrier,
+    _to_host,
+)
 from ..utils.logging import MetricsLogger
 
 
@@ -225,12 +230,9 @@ def member_val_plan(member: Member, batch_size: int, steps: int) -> np.ndarray:
 # -- the driver ----------------------------------------------------------------
 
 
-def _stacked_state_dict(state: TrainState) -> Dict[str, Any]:
-    d = {"params": state.params, "opt_state": state.opt_state,
-         "step": state.step}
-    if state.batch_stats is not None:
-        d["batch_stats"] = state.batch_stats
-    return d
+# One schema for all checkpoints: the per-run manager's state dict (drift
+# between the two would silently diverge the formats).
+_stacked_state_dict = CheckpointManager._state_dict
 
 
 def _stacked_state_from_dict(template: TrainState, d: Dict[str, Any]) -> TrainState:
@@ -268,6 +270,10 @@ class _EnsembleCheckpoint:
         }
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
+        if jax.process_index() != 0:
+            # every process joins the orbax save; only rank 0 writes the
+            # sidecar (concurrent writers could tear the JSON on shared FS)
+            return
         book = dict(book, epoch=epoch,
                     have_best=best_states is not None,
                     have_last=last_states is not None)
@@ -380,8 +386,9 @@ def fit_members(
         d_monitor, d_mode = (
             ("f1_val", "max") if task == "classification" else ("val_loss", "min")
         )
-        monitor = monitor or d_monitor
-        mode = mode or d_mode
+        # Trainer precedence: explicit kwarg > TrainerConfig > task default
+        monitor = monitor or cfg.monitor or d_monitor
+        mode = mode or cfg.mode or d_mode
 
     # ensemble-wide static step counts
     steps = max(
@@ -392,6 +399,8 @@ def fit_members(
     ]
     val_steps = max(val_steps_i)
     n_val_i = [len(m.val_indices) for m in members]
+    # host-side val views for metrics, built once (not per eval epoch)
+    val_subsets = [dataset.subset(m.val_indices) for m in members]
 
     # per-member host RNG/key discipline — exactly Trainer.fit's
     rngs = [np.random.default_rng(m.seed) for m in members]
@@ -551,13 +560,16 @@ def fit_members(
 
         t0 = time.time()
         states, losses = run_epoch(states, data, plans, ekeys)
-        losses = np.asarray(jax.device_get(losses))  # (n, steps)
+        # _to_host gathers member-sharded outputs over DCN in multi-process
+        # runs (plain device_get rejects non-addressable arrays)
+        losses = _to_host(losses)  # (n, steps)
         step_time = (time.time() - t0) / steps
 
         do_eval = epoch % cfg.eval_every_epochs == 0
         if do_eval:
             val_losses, aux = run_eval(states, data, val_plans, vkeys)
-            val_losses = np.asarray(jax.device_get(val_losses))
+            val_losses = _to_host(val_losses)
+            aux = jax.tree_util.tree_map(_to_host, aux)
 
         improved = np.zeros(n, dtype=bool)
         stopped = np.zeros(n, dtype=bool)
@@ -590,7 +602,7 @@ def fit_members(
                     compute_task_metrics(
                         task,
                         aux_i,
-                        dataset.subset(m.val_indices),
+                        val_subsets[i],
                         n_val_i[i],
                         n_classes,
                     )
@@ -662,6 +674,8 @@ def fit_members(
             "metric_rows": metric_rows[i],
             "best": best[i],
             "epochs_run": int(epochs_run[i]),
+            # all members share the ensemble's wall clock (the point)
+            "wall_time_s": results["wall_time_s"],
         }
         if member_dirs[i]:
             ckpts = CheckpointManager(member_dirs[i], monitor, mode, cfg.keep_best)

@@ -219,23 +219,20 @@ def _run_sweep_parallel_folds(
     indexed_results: Dict[int, Dict[str, Any]] = {}
     for gi, group in enumerate(groups.values()):
         run_cfg0 = group[0][1]
-        foldable = (
-            folds is not None
-            and len(group) > 1
-            and all("foldnumber" in rc for _, rc in group)
-        )
         model, task, freeze, params_override, tcfg = _build_run(
             run_cfg0, extra, nband, model_builder, epochs_override
         )
         set_seed(int(run_cfg0.get("seed", 0)))
         members = []
         for k, rc in group:
+            # exactly the sequential path's split rule (fold indices when a
+            # fold plan + foldnumber exist, else the seeded random split)
             inds_train, inds_val = split_for_run(
                 len(dataset),
                 float(extra.get("val_fraction", 0.2)),
                 int(rc.get("seed", 0)),
-                folds=folds if foldable else None,
-                foldnumber=rc.get("foldnumber") if foldable else None,
+                folds=folds,
+                foldnumber=rc.get("foldnumber"),
             )
             members.append(
                 Member(

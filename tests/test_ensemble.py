@@ -409,6 +409,9 @@ def test_run_sweep_parallel_folds_matches_sequential(tmp_path):
 
     assert len(par) == len(seq) == 3
     for p, s in zip(par, seq):
+        # every field scripts/train.py's results print reads must exist
+        for k in ("run_dir", "best", "epochs_run", "wall_time_s"):
+            assert k in p, k
         assert p["run_cfg"]["foldnumber"] == s["run_cfg"]["foldnumber"]
         assert os.path.basename(p["run_dir"]) == os.path.basename(s["run_dir"])
         np.testing.assert_allclose(
