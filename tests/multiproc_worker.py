@@ -35,6 +35,10 @@ def main():
                          "close — reproduces the exit-skew hazard where a "
                          "fast rank reaches interpreter exit while rank 0 "
                          "still writes (round-2 DEADLINE_EXCEEDED flake)")
+    ap.add_argument("--ensemble", action="store_true",
+                    help="run fit_members with the member axis sharded over "
+                         "the global data axis instead of Trainer.fit "
+                         "(exercises the multi-process DCN readback path)")
     args = ap.parse_args()
 
     jax.config.update("jax_num_cpu_devices", args.local_devices)
@@ -77,6 +81,46 @@ def main():
         use_pallas=False,
     )
     ds = make_synthetic_dataset(n=64, n_max_lc=8, n_max_sp=8, seed=0)
+
+    if args.ensemble:
+        # 4 members sharded member-per-device over the 4-device data axis,
+        # across 2 OS processes: losses/metrics read back over DCN
+        # (training/ensemble._to_host), results identical on every process.
+        from multimodal_supernovae_tpu.training.ensemble import (
+            Member,
+            fit_members,
+        )
+
+        idx = np.arange(64)
+        members = [
+            Member(f"run-{i}", i, np.roll(idx, 16 * i)[:48],
+                   np.roll(idx, 16 * i)[48:])
+            for i in range(4)
+        ]
+        res = fit_members(
+            CLIPModel(cfg), "contrastive",
+            TrainerConfig(epochs=args.epochs, batch_size=16, lr=3e-3,
+                          seed=0, noise_level_mag=1.0),
+            ds, members, mesh=mesh,
+        )
+        print("RESULT " + json.dumps({
+            "process": jax.process_index(),
+            "n_processes": jax.process_count(),
+            "global_devices": len(jax.devices()),
+            "mesh_shape": dict(mesh.shape),
+            "members": {
+                m.name: {
+                    "train_loss": res["members"][m.name]["history"]["train_loss"],
+                    "val_loss": res["members"][m.name]["history"]["val_loss"],
+                    "auc": [r["AUC_val"]
+                            for r in res["members"][m.name]["metric_rows"]
+                            if "AUC_val" in r],
+                }
+                for m in members
+            },
+        }), flush=True)
+        return
+
     trainer = Trainer(
         CLIPModel(cfg), task="contrastive",
         cfg=TrainerConfig(epochs=args.epochs, batch_size=16, lr=3e-3, seed=0,

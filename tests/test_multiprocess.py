@@ -32,7 +32,8 @@ def _free_port() -> int:
 
 
 def _run_workers(n_proc: int, local_devices: int, n_model: int = 1,
-                 epochs: int = 2, run_dir: str = None, exit_skew: float = 0.0):
+                 epochs: int = 2, run_dir: str = None, exit_skew: float = 0.0,
+                 ensemble: bool = False):
     port = _free_port()
     procs = []
     for pid in range(n_proc):
@@ -51,6 +52,8 @@ def _run_workers(n_proc: int, local_devices: int, n_model: int = 1,
             cmd += ["--run-dir", run_dir]
         if exit_skew:
             cmd += ["--exit-skew", str(exit_skew)]
+        if ensemble:
+            cmd += ["--ensemble"]
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
@@ -87,6 +90,59 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(
         multi[0]["val_loss"], single["val_loss"], rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_two_process_ensemble_members():
+    """fit_members with the member axis sharded over a 2-process global
+    mesh: every process reads back identical per-member losses/metrics
+    over DCN (training/ensemble._to_host), and they match the same
+    ensemble run unsharded in one process."""
+    multi = _run_workers(n_proc=2, local_devices=2, epochs=2, ensemble=True)
+    assert all(r["n_processes"] == 2 for r in multi)
+    assert multi[0]["members"] == multi[1]["members"]
+
+    # same members, no mesh, in THIS process — member trajectories agree
+    import numpy as np_
+
+    from multimodal_supernovae_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_supernovae_tpu.models import CLIPConfig, CLIPModel
+    from multimodal_supernovae_tpu.training.ensemble import Member, fit_members
+    from multimodal_supernovae_tpu.training.trainer import TrainerConfig
+
+    seq = {"n_out": 8, "emb": 8, "heads": 2, "depth": 1, "time_norm": 1000.0,
+           "agg": "mean", "dropout": 0.0}
+    cfg = CLIPConfig.create(
+        combinations=("lightcurve", "spectral"), enc_dim=8, nband=2,
+        loss="softmax", transformer_kwargs=seq,
+        transformer_spectral_kwargs=seq, use_pallas=False,
+    )
+    ds = make_synthetic_dataset(n=64, n_max_lc=8, n_max_sp=8, seed=0)
+    idx = np_.arange(64)
+    members = [
+        Member(f"run-{i}", i, np_.roll(idx, 16 * i)[:48],
+               np_.roll(idx, 16 * i)[48:])
+        for i in range(4)
+    ]
+    res = fit_members(
+        CLIPModel(cfg), "contrastive",
+        TrainerConfig(epochs=2, batch_size=16, lr=3e-3, seed=0,
+                      noise_level_mag=1.0),
+        ds, members,
+    )
+    for m in members:
+        got = multi[0]["members"][m.name]
+        ref = res["members"][m.name]
+        np.testing.assert_allclose(
+            got["train_loss"], ref["history"]["train_loss"],
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            got["val_loss"], ref["history"]["val_loss"],
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            got["auc"],
+            [r["AUC_val"] for r in ref["metric_rows"] if "AUC_val" in r],
+            atol=1e-4)
 
 
 @pytest.mark.slow
