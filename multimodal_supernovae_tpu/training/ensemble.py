@@ -366,7 +366,7 @@ def fit_members(
     host work stays a few scalars per member.
 
     With ``mesh``, states/plans/keys are sharded member-axis over the data
-    axis (len(members) must divide it evenly times); the dataset is
+    axis (len(members) must be a multiple of the axis size); the dataset is
     replicated. No collectives are introduced — members are independent.
 
     With ``run_dir``, one ensemble-level checkpoint of the stacked state is
@@ -379,7 +379,21 @@ def fit_members(
     names = [m.name for m in members]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate member names: {names}")
+    for m in members:
+        if len(m.train_indices) == 0 or len(m.val_indices) == 0:
+            raise ValueError(
+                f"member {m.name} has an empty "
+                f"{'train' if len(m.train_indices) == 0 else 'val'} index "
+                "set — every member needs at least one sample per split"
+            )
     n = len(members)
+    if mesh is not None and n % mesh.shape[DATA_AXIS]:
+        raise ValueError(
+            f"{n} members cannot shard over the mesh's '{DATA_AXIS}' axis "
+            f"of size {mesh.shape[DATA_AXIS]}: the member count must be a "
+            "multiple of the axis size (members are placed whole, one or "
+            "more per device)"
+        )
     is_main = jax.process_index() == 0
 
     if monitor is None or mode is None:
@@ -391,9 +405,23 @@ def fit_members(
         mode = mode or cfg.mode or d_mode
 
     # ensemble-wide static step counts
-    steps = max(
+    own_steps = [
         -(-len(m.train_indices) // cfg.batch_size) for m in members
-    )
+    ]
+    steps = max(own_steps)
+    short = [m.name for m, s in zip(members, own_steps) if s != steps]
+    if short and is_main:
+        # surfaced, not just documented: wrap-extended members take extra
+        # optimizer updates per epoch and their trajectories deviate from a
+        # sequential Trainer.fit whenever fold sizes cross a batch boundary
+        import warnings
+
+        warnings.warn(
+            f"members {short} need fewer steps than the ensemble-wide "
+            f"{steps} per epoch and are wrap-extended with extra batches "
+            "from their own permutation — their trajectories will not match "
+            "a sequential run exactly (equal-sized folds avoid this)"
+        )
     val_steps_i = [
         -(-len(m.val_indices) // cfg.batch_size) for m in members
     ]

@@ -37,10 +37,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256,
                     help="the artifact's FIXED batch size (static shapes)")
     ap.add_argument("--lc-len", type=int, default=None,
-                    help="band-blocked light-curve length baked into the "
-                         "artifact (default: run config, else 100); must "
-                         "match the serving data — --check is shape-"
-                         "self-consistent and cannot catch a mismatch")
+                    help="PER-BAND light-curve length (the reference's "
+                         "max_lightcurve_data_len; total baked band-blocked "
+                         "length = lc-len x nband) (default: run config, "
+                         "else 100); must match the serving data — --check "
+                         "is shape-self-consistent and cannot catch a "
+                         "mismatch")
     ap.add_argument("--sp-len", type=int, default=None,
                     help="spectrum length baked into the artifact (default: "
                          "run config, else 1000 — the real-data default of "
