@@ -178,7 +178,9 @@ def epoch_indices(
     if total <= n:
         flat = order[:total]
     elif pad == "wrap":
-        flat = np.concatenate([order, order[: total - n]])
+        # tile: the pad may need MORE than one extra pass when
+        # batch_size > 2n (e.g. a small tail shard under streaming)
+        flat = np.tile(order, -(-total // n))[:total]
     else:  # repeat_last
         flat = np.concatenate([order, np.full(total - n, order[-1], np.int32)])
     return flat.reshape(steps, batch_size)

@@ -156,6 +156,74 @@ class ShardedDataset:
         )
 
 
+class ValHoldout:
+    """Carve an in-memory validation split out of a streamed chunk iterator.
+
+    The streaming trainer keeps validation HBM-resident (it is small and
+    evaluated every epoch) while the training corpus stays sharded on disk.
+    ``wrap`` routes a deterministic random fraction of every chunk's rows to
+    an internal buffer (capped at ``cap`` rows — beyond that the fraction of
+    later chunks is passed through untouched) and yields the remainder for
+    the shard writer. The same seed reproduces the same split.
+    """
+
+    def __init__(self, val_fraction: float, seed: int = 0, cap: int = 50000):
+        if not 0.0 < val_fraction < 1.0:
+            raise ValueError(f"val_fraction must be in (0, 1): {val_fraction}")
+        self.val_fraction = val_fraction
+        self.cap = cap
+        self._rng = np.random.default_rng(seed)
+        self._parts: List[Dict[str, np.ndarray]] = []
+        self._n = 0
+
+    def wrap(self, chunks: Iterator[Dict[str, np.ndarray]]):
+        for chunk in chunks:
+            n = len(next(iter(chunk.values())))
+            take = self._rng.random(n) < self.val_fraction
+            if self._n >= self.cap:
+                take[:] = False
+            elif self._n + int(take.sum()) > self.cap:
+                extra = self._n + int(take.sum()) - self.cap
+                on = np.flatnonzero(take)
+                take[on[len(on) - extra:]] = False
+            if take.any():
+                self._parts.append({k: np.asarray(v[take]) for k, v in chunk.items()})
+                self._n += int(take.sum())
+            keep = ~take
+            if keep.any():
+                yield {k: v[keep] for k, v in chunk.items()}
+
+    def dataset(self) -> ArrayDataset:
+        if not self._parts:
+            raise ValueError("no validation rows collected — iterate wrap() first")
+        arrays = {
+            k: np.concatenate([p[k] for p in self._parts], axis=0)
+            for k in self._parts[0]
+        }
+        return ArrayDataset(arrays, None)
+
+
+def save_val_split(cache_dir: str, val_ds: ArrayDataset) -> None:
+    """Persist the held-out validation split next to the shard cache so a
+    reused cache reproduces the identical split."""
+    path = os.path.join(cache_dir, "val")
+    os.makedirs(path, exist_ok=True)
+    for k, v in val_ds.arrays.items():
+        np.save(os.path.join(path, f"{k}.npy"), np.asarray(v))
+
+
+def load_val_split(cache_dir: str) -> Optional[ArrayDataset]:
+    path = os.path.join(cache_dir, "val")
+    if not os.path.isdir(path):
+        return None
+    arrays = {
+        f[:-4]: np.load(os.path.join(path, f))
+        for f in sorted(os.listdir(path))
+        if f.endswith(".npy")
+    }
+    return ArrayDataset(arrays, None)
+
+
 def shard_epoch_schedule(
     ds: ShardedDataset,
     batch_size: int,

@@ -179,6 +179,80 @@ class CheckpointManager:
         self._last.close()
 
 
+class StreamCursor:
+    """Shard-granular resume point for ``Trainer.fit_sharded``.
+
+    The streaming trainer's epoch can be arbitrarily long (a >HBM corpus),
+    so epoch-boundary checkpoints alone lose up to a whole epoch on
+    preemption. After every shard's scan the cursor saves the train state
+    plus the in-flight epoch's bookkeeping — (epoch, shard position, the
+    per-shard loss rows so far) — under ``<run_dir>/ckpt_cursor``. Resume
+    replays the host RNG/key streams up to the cursor and continues with
+    the next shard; the continuation is bit-identical to an uninterrupted
+    run (tests/test_streaming.py).
+
+    The loss rows ride INSIDE the orbax payload (fixed (n_shards,
+    steps_per_shard) f32, NaN-padded) so state and bookkeeping can never
+    tear: one atomic save holds both.
+    """
+
+    def __init__(self, run_dir: str):
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(os.path.abspath(run_dir), "ckpt_cursor"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+
+    @staticmethod
+    def _payload(state, epoch, shard_pos, losses):
+        return {
+            "state": CheckpointManager._state_dict(state),
+            "cursor": {
+                "epoch": np.asarray(epoch, dtype=np.int64),
+                "shard_pos": np.asarray(shard_pos, dtype=np.int64),
+            },
+            "losses": np.asarray(losses, dtype=np.float32),
+        }
+
+    def save(self, gstep: int, state, epoch: int, shard_pos: int,
+             losses: np.ndarray) -> None:
+        self._mgr.save(
+            gstep,
+            args=ocp.args.StandardSave(
+                self._payload(state, epoch, shard_pos, losses)
+            ),
+        )
+
+    def try_restore(self, state, n_shards: int, steps_per_shard: int):
+        """Returns (state, epoch, shard_pos, losses) or None."""
+        self._mgr.wait_until_finished()
+        gstep = self._mgr.latest_step()
+        if gstep is None:
+            return None
+        template = self._payload(
+            state, 0, 0, np.zeros((n_shards, steps_per_shard), np.float32)
+        )
+        restored = self._mgr.restore(
+            gstep, args=ocp.args.StandardRestore(template)
+        )
+        sd = restored["state"]
+        state = state.replace(
+            params=sd["params"], opt_state=sd["opt_state"], step=sd["step"],
+            batch_stats=sd.get("batch_stats", state.batch_stats),
+        )
+        return (
+            state,
+            int(restored["cursor"]["epoch"]),
+            int(restored["cursor"]["shard_pos"]),
+            np.asarray(restored["losses"]),
+        )
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
 # -- params-only export/import (for eval & transfer) -------------------------
 
 

@@ -51,6 +51,59 @@ def make_sweep_dir(sweep: SweepConfig, analysis_path: str, name: str) -> str:
     return sweep_dir
 
 
+def completed_summary(run_dir: str) -> Optional[Dict[str, Any]]:
+    """The run's ``summary.json`` if the run COMPLETED (the summary is
+    written once, after fit returns — utils/logging.py:set_summary), else
+    None. This is the sweep-level continue marker: the reference re-enters
+    a sweep by id and W&B skips finished runs (src/wandb_utils.py:45-50);
+    here a finished run is one whose directory holds a summary."""
+    path = os.path.join(run_dir, "summary.json")
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def _objective_from_summary(
+    summary: Dict[str, Any], sweep: SweepConfig
+) -> Optional[float]:
+    """Recover the sweep objective from a completed run's summary so a
+    resumed random/bayes schedule can still observe skipped runs."""
+    name = (sweep.metric or {}).get("name", "best_val_loss")
+    if summary.get(name) is not None:
+        return float(summary[name])
+    if summary.get("best_val_loss") is not None:
+        return float(summary["best_val_loss"])
+    return None
+
+
+def _skipped_result(run_dir: str, run_cfg, summary: Dict[str, Any]):
+    """Result row for a run skipped because it already completed."""
+    value = next(
+        (
+            v
+            for k, v in summary.items()
+            if k.startswith("best_")
+            and k not in ("best_epoch", "best_ckpt_epoch", "best_val_loss",
+                          "best_auc")
+            and v is not None
+        ),
+        summary.get("best_val_loss"),
+    )
+    return {
+        "run_dir": run_dir,
+        "run_cfg": run_cfg,
+        "skipped": True,
+        "summary": summary,
+        "best": {"value": value, "epoch": summary.get("best_epoch", -1)},
+        "history": {"train_loss": [], "val_loss": []},
+        "epochs_run": 0,
+        "wall_time_s": 0.0,
+    }
+
+
 def task_of(extra: Dict[str, Any]) -> str:
     if extra.get("regression"):
         return "regression"
@@ -72,6 +125,7 @@ def run_sweep(
     epochs_override: Optional[int] = None,
     resume: bool = False,
     parallel_folds: bool = False,
+    parallel_members: bool = False,
 ):
     """Train every grid point (the wandb.agent loop, script_wandb.py:339).
 
@@ -83,23 +137,35 @@ def run_sweep(
     (training/ensemble.py) — same run directories; measured at the
     reference's real-data batch 32, 5 folds cost 3.6x one fold's step time
     (1.37x wall speedup) plus one XLA compile instead of five
-    (benchmarks/ensemble_results.json). Returns the per-run result dicts.
+    (benchmarks/ensemble_results.json). ``parallel_members=True``
+    additionally groups across ``seed`` and ``lr`` (a seed-ensemble or the
+    reference's lr grid, configs/config_grid.yaml, stacks the same way —
+    fit_members carries per-member seeds and learning rates). ``resume``
+    restores each unfinished run's checkpoint AND skips grid points whose
+    run directory already holds a completed ``summary.json`` (the
+    reference's continue_sweep semantics). Returns the per-run result
+    dicts.
     """
     extra = sweep.extra_args
     results = []
     scheduler = SweepScheduler(sweep, max_runs=max_runs)
 
-    if parallel_folds:
+    if parallel_folds or parallel_members:
         if use_wandb:
             import warnings
 
             warnings.warn(
-                "parallel folds log metrics.jsonl only; --wandb is ignored"
+                "parallel folds/members log metrics.jsonl only; --wandb is "
+                "ignored"
             )
         return _run_sweep_parallel_folds(
             sweep, dataset, nband, folds, sweep_dir, scheduler,
             model_builder=model_builder, mesh=mesh,
             epochs_override=epochs_override, resume=resume,
+            vary_keys=(
+                ("foldnumber", "seed", "lr") if parallel_members
+                else ("foldnumber",)
+            ),
         )
 
     for k in range(scheduler.n_runs):
@@ -108,6 +174,18 @@ def run_sweep(
             break
         run_name = f"run-{k}"
         run_dir = os.path.join(sweep_dir, run_name)
+        if resume:
+            summary = completed_summary(run_dir)
+            if summary is not None:
+                # continue_sweep semantics: a finished grid point is not
+                # re-walked (no dataset upload / state init / reports) —
+                # its recorded objective still feeds the scheduler
+                res = _skipped_result(run_dir, run_cfg, summary)
+                results.append(res)
+                scheduler.observe(
+                    run_cfg, _objective_from_summary(summary, sweep)
+                )
+                continue
         rng, _ = set_seed(int(run_cfg.get("seed", 0)))
 
         inds_train, inds_val = split_for_run(
@@ -154,6 +232,78 @@ def run_sweep(
     return results
 
 
+def run_sweep_streaming(
+    sweep: SweepConfig,
+    train_sds,  # data.streaming.ShardedDataset
+    val_ds: ArrayDataset,
+    nband: int,
+    sweep_dir: str,
+    mesh=None,
+    use_wandb: bool = False,
+    max_runs: Optional[int] = None,
+    epochs_override: Optional[int] = None,
+    resume: bool = False,
+):
+    """The sweep loop over a SHARDED (>HBM) corpus: ``Trainer.fit_sharded``
+    per grid point, shard-granular resume, completed runs skipped under
+    ``resume``. The streaming counterpart of ``run_sweep`` for the sim
+    pretraining path (the reference streams its HDF5 per item,
+    src/dataloader.py:1037-1229; no folds — pretraining_clip_wandb.py uses
+    a plain random split, which here is the ingest-time holdout). Post-fit
+    reports are limited to the loss history: retrieval curves need the
+    train embeddings, and the training corpus is deliberately not
+    materialised.
+    """
+    extra = sweep.extra_args
+    results = []
+    scheduler = SweepScheduler(sweep, max_runs=max_runs)
+    for k in range(scheduler.n_runs):
+        run_cfg = scheduler.suggest()
+        if run_cfg is None:
+            break
+        run_dir = os.path.join(sweep_dir, f"run-{k}")
+        if resume:
+            summary = completed_summary(run_dir)
+            if summary is not None:
+                res = _skipped_result(run_dir, run_cfg, summary)
+                results.append(res)
+                scheduler.observe(
+                    run_cfg, _objective_from_summary(summary, sweep)
+                )
+                continue
+        set_seed(int(run_cfg.get("seed", 0)))
+        model, task, freeze, params_override, tcfg = _build_run(
+            run_cfg, extra, nband, None, epochs_override
+        )
+        trainer = Trainer(
+            model, task=task, cfg=tcfg, run_dir=run_dir, mesh=mesh,
+            freeze=freeze, use_wandb=use_wandb,
+            n_classes=int(extra.get("n_classes", 5)),
+        )
+        state = None
+        if params_override is not None:
+            trainer.set_dataset_size(len(train_sds))
+            example = train_sds.load_shard(0).to_device().take(
+                np.arange(tcfg.batch_size) % train_sds.shard_sizes[0]
+            )
+            state = trainer.init_state(example)
+            state = state.replace(params=params_override(state.params))
+        res = trainer.fit_sharded(
+            train_sds, val_ds, config_dump=dict(run_cfg), state=state,
+            resume=resume,
+        )
+        res["run_dir"] = run_dir
+        res["run_cfg"] = run_cfg
+        results.append(res)
+        scheduler.observe(run_cfg, _sweep_objective(res, sweep))
+
+        from ..evaluation.reports import plot_loss_history
+
+        hist = res["history"]
+        plot_loss_history(hist["train_loss"], hist["val_loss"], run_dir)
+    return results
+
+
 def _build_run(run_cfg, extra, nband, model_builder, epochs_override):
     """Model/task/freeze/surgery/trainer-config for one grid point (shared
     by the sequential loop and the parallel-folds path)."""
@@ -184,21 +334,25 @@ def _run_sweep_parallel_folds(
     mesh=None,
     epochs_override: Optional[int] = None,
     resume: bool = False,
+    vary_keys: tuple = ("foldnumber",),
 ):
-    """k-fold grid points as vmapped member groups (training/ensemble.py).
+    """Grid points as vmapped member groups (training/ensemble.py).
 
-    Grid points are grouped by their config minus ``foldnumber``; each
+    Grid points are grouped by their config minus ``vary_keys``; each
     group trains as ONE stacked program writing the same per-run
     directories (``run-<k>``) the sequential path would. The reference's
     flagship real-data recipe — 5 folds x batch 32, configs/config_grid
-    .yaml foldnumber values [0..4] — becomes one program instead of five.
+    .yaml foldnumber values [0..4] — becomes one program instead of five;
+    with ``vary_keys=("foldnumber", "seed", "lr")`` a seed-ensemble or an
+    lr sweep stacks the same way (per-member seeds/lrs ride in the stacked
+    state — ensemble.set_member_lrs).
     """
     from .ensemble import Member, fit_members
 
     if sweep.method != "grid":
         raise ValueError(
-            "parallel folds require method: grid (random/bayes schedules "
-            "depend on sequential observations)"
+            "parallel folds/members require method: grid (random/bayes "
+            "schedules depend on sequential observations)"
         )
     extra = sweep.extra_args
     cfgs = []
@@ -212,12 +366,24 @@ def _run_sweep_parallel_folds(
     for k, run_cfg in enumerate(cfgs):
         key = tuple(
             sorted((kk, repr(v)) for kk, v in run_cfg.items()
-                   if kk != "foldnumber")
+                   if kk not in vary_keys)
         )
         groups.setdefault(key, []).append((k, run_cfg))
 
     indexed_results: Dict[int, Dict[str, Any]] = {}
     for gi, group in enumerate(groups.values()):
+        if resume:
+            summaries = {
+                k: completed_summary(os.path.join(sweep_dir, f"run-{k}"))
+                for k, _ in group
+            }
+            if all(s is not None for s in summaries.values()):
+                # the whole stacked group already completed — skip it
+                for k, rc in group:
+                    indexed_results[k] = _skipped_result(
+                        os.path.join(sweep_dir, f"run-{k}"), rc, summaries[k]
+                    )
+                continue
         run_cfg0 = group[0][1]
         model, task, freeze, params_override, tcfg = _build_run(
             run_cfg0, extra, nband, model_builder, epochs_override
@@ -240,6 +406,7 @@ def _run_sweep_parallel_folds(
                     seed=int(rc.get("seed", 0)),
                     train_indices=inds_train,
                     val_indices=inds_val,
+                    lr=float(rc["lr"]) if "lr" in rc else None,
                     config_dump=dict(rc),
                 )
             )

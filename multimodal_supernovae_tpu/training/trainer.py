@@ -333,14 +333,24 @@ class Trainer:
         val_ds: ArrayDataset,
         config_dump: Optional[Dict[str, Any]] = None,
         state: Optional[TrainState] = None,
+        resume: bool = False,
     ) -> Dict[str, Any]:
         """Train over a sharded cache too large to materialise: per epoch,
         shuffled shard order, at most TWO shards resident in HBM at a time
         (the next shard's upload overlaps the current shard's compute; the
         pipeline degrades to one-resident when two don't fit), the same
         jitted epoch scan per shard (data/streaming.py). Eval/checkpoint/
-        early-stop cadence matches ``fit``; validation stays in-memory."""
+        early-stop cadence matches ``fit``; validation stays in-memory.
+
+        ``resume=True`` restores the latest SHARD-granular cursor
+        (``ckpt_cursor`` — state + epoch/shard position + the in-flight
+        epoch's losses, saved after every shard's scan) and continues from
+        the next shard, replaying the host RNG/key streams so the
+        continuation is bit-identical to an uninterrupted run. Streaming
+        epochs over a >HBM corpus can be arbitrarily long, so preemption
+        recovery here must be finer than ``fit``'s epoch boundary."""
         from ..data.streaming import shard_epoch_schedule
+        from .checkpoint import StreamCursor
 
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
@@ -408,28 +418,74 @@ class Trainer:
         )
         n_val = len(val_ds)
 
+        n_shards = train_sds.n_shards
+        steps_full = -(-train_sds.shard_sizes[0] // cfg.batch_size)
+        cursor = (StreamCursor(self.run_dir)
+                  if self.run_dir and jax.process_count() == 1 else None)
+
         history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
         metric_rows: List[Dict[str, float]] = []
         best = {"value": None, "epoch": -1}
         since_best = 0
         t_start = time.time()
-        epoch = -1
-        for epoch in range(cfg.epochs):
-            schedule = shard_epoch_schedule(train_sds, cfg.batch_size, rng)
-            root_key, vkey = jax.random.split(root_key)
+
+        start_epoch = 0
+        resume_mid = None  # (schedule, vkey, losses_rows, start_shard)
+        if resume and cursor is None and ckpts is not None:
+            # multi-host: shard cursors are single-process for now; fall
+            # back to fit's epoch-boundary resume from ckpt_last
+            restored = ckpts.try_restore_last(state)
+            if restored is not None:
+                state, start_epoch = restored
+                start_epoch += 1
+                for _ in range(start_epoch):
+                    sch = shard_epoch_schedule(train_sds, cfg.batch_size, rng)
+                    root_key, _ = jax.random.split(root_key)
+                    for _ in sch:
+                        root_key, _ = jax.random.split(root_key)
+        if resume and cursor is not None:
+            restored = cursor.try_restore(state, n_shards, steps_full)
+            if restored is not None:
+                state, c_epoch, c_shard, c_losses = restored
+                # replay the host RNG/key streams for completed epochs so
+                # the resumed run sees exactly the shard orders/shuffles/
+                # augmentation keys an uninterrupted run would
+                for _ in range(c_epoch):
+                    sch = shard_epoch_schedule(train_sds, cfg.batch_size, rng)
+                    root_key, _ = jax.random.split(root_key)
+                    for _ in sch:
+                        root_key, _ = jax.random.split(root_key)
+                schedule = shard_epoch_schedule(train_sds, cfg.batch_size, rng)
+                root_key, vkey = jax.random.split(root_key)
+                for _ in range(c_shard + 1):
+                    root_key, _ = jax.random.split(root_key)
+                losses_rows = [c_losses[i] for i in range(c_shard + 1)]
+                resume_mid = (schedule, vkey, losses_rows, c_shard + 1)
+                start_epoch = c_epoch
+
+        epoch = start_epoch - 1
+        for epoch in range(start_epoch, cfg.epochs):
+            if resume_mid is not None:
+                schedule, vkey, epoch_losses, start_shard = resume_mid
+                resume_mid = None
+            else:
+                schedule = shard_epoch_schedule(train_sds, cfg.batch_size, rng)
+                root_key, vkey = jax.random.split(root_key)
+                epoch_losses = []
+                start_shard = 0
             t0 = time.time()
-            epoch_losses = []
             n_steps = 0
             # Double-buffered shard pipeline: the scan over shard i is
             # dispatched asynchronously, so shard i+1's host->HBM upload
             # overlaps shard i's compute (the host is otherwise idle while
             # the device runs). Two shards resident at peak — guarded above
             # against shards sized over half of HBM.
+            remaining = schedule[start_shard:]
             next_data = (
-                self._device_data(train_sds.load_shard(schedule[0][0]))
-                if prefetch else None
+                self._device_data(train_sds.load_shard(remaining[0][0]))
+                if prefetch and remaining else None
             )
-            for idx, (si, plan) in enumerate(schedule):
+            for idx, (si, plan) in enumerate(remaining):
                 if prefetch:
                     shard_data, next_data = next_data, None
                 else:
@@ -438,14 +494,22 @@ class Trainer:
                 state, losses = run_epoch(
                     state, shard_data, self._plan_to_device(plan), ekey
                 )
-                if prefetch and idx + 1 < len(schedule):
+                if prefetch and idx + 1 < len(remaining):
                     next_data = self._device_data(
-                        train_sds.load_shard(schedule[idx + 1][0])
+                        train_sds.load_shard(remaining[idx + 1][0])
                     )
-                epoch_losses.append(losses)
+                epoch_losses.append(np.asarray(losses))
                 n_steps += plan.shape[0]
                 del shard_data  # drop the HBM residence before the next shard
-            train_loss = float(jnp.mean(jnp.concatenate(epoch_losses)))
+                if cursor is not None:
+                    shard_pos = start_shard + idx
+                    rows = np.full((n_shards, steps_full), np.nan, np.float32)
+                    rows[: shard_pos + 1] = np.stack(epoch_losses)
+                    cursor.save(
+                        epoch * n_shards + shard_pos, state, epoch,
+                        shard_pos, rows,
+                    )
+            train_loss = float(np.mean(np.concatenate(epoch_losses)))
             if not np.isfinite(train_loss):
                 raise FloatingPointError(
                     f"non-finite training loss at epoch {epoch}"
@@ -491,11 +555,27 @@ class Trainer:
             "epochs_run": epoch + 1,
             "wall_time_s": time.time() - t_start,
         }
+        if cursor is not None:
+            cursor.wait()
+            cursor.close()
         if ckpts:
             ckpts.wait()
             result["best_ckpt_epoch"] = ckpts.best_epoch()
             ckpts.close()
         if logger:
+            # same run-summary contract as fit (script_wandb.py:248-253);
+            # summary.json is also the sweep-level completion marker
+            summary = {
+                f"best_{self.monitor}": best["value"],
+                "best_epoch": best["epoch"],
+                "best_ckpt_epoch": result.get("best_ckpt_epoch"),
+            }
+            if history["val_loss"]:
+                summary["best_val_loss"] = float(np.min(history["val_loss"]))
+            aucs = [m["AUC_val"] for m in metric_rows if "AUC_val" in m]
+            if aucs:
+                summary["best_auc"] = float(np.max(aucs))
+            logger.set_summary(**summary)
             logger.close()
         _fit_end_barrier()
         return result

@@ -29,11 +29,17 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--max-runs", type=int, default=None)
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore each run's ckpt_last and continue; "
+                         "completed runs (summary.json present) are skipped")
     ap.add_argument("--parallel-folds", action="store_true",
                     help="train grid points that differ only in foldnumber "
                          "as ONE vmapped program (the reference's 5-fold "
                          "finetune recipe: 1.37x step speedup + one compile "
                          "instead of five; training/ensemble.py)")
+    ap.add_argument("--parallel-members", action="store_true",
+                    help="like --parallel-folds but also stacks grid points "
+                         "differing in seed or lr (per-member seeds/lrs)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (overrides env/sitecustomize)")
     from multimodal_supernovae_tpu.parallel.distributed import (
@@ -95,7 +101,9 @@ def main():
         max_runs=args.max_runs or extra.get("nruns"),
         epochs_override=args.epochs,
         mesh=mesh,
+        resume=args.resume,
         parallel_folds=args.parallel_folds,
+        parallel_members=args.parallel_members,
     )
     for r in results:
         print(f"{r['run_dir']}: best {r['best']}")

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--max-runs", type=int, default=None)
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore each run's ckpt_last and continue; "
+                         "completed runs (summary.json present) are skipped")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (overrides env/sitecustomize)")
     from multimodal_supernovae_tpu.parallel.distributed import (
@@ -102,6 +105,7 @@ def main():
         max_runs=args.max_runs or extra.get("nruns"),
         epochs_override=args.epochs,
         mesh=mesh,
+        resume=args.resume,
     )
     for r in results:
         print(f"{r['run_dir']}: best {r['best']}")

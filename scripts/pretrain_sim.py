@@ -6,6 +6,12 @@ the Photometry/Spectroscopy HDF5 (``filename_trainset`` in extra_args, with
 ``noise``/``dataset_length`` flags), plain random split, contrastive only.
 
   python scripts/pretrain_sim.py pretrain_config/maven_pretrain_config.yaml
+
+``--resume`` (with scripts/supervise.py) makes the flagship long job —
+~500k samples, pretrain_config/maven_pretrain_config.yaml:53 — preemption
+safe. ``--streaming`` trains straight from a sharded on-disk cache
+(Trainer.fit_sharded) instead of materialising the corpus in HBM: required
+when the HDF5 outgrows device memory, with shard-granular resume.
 """
 
 from __future__ import annotations
@@ -26,6 +32,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--max-runs", type=int, default=None)
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore each run's latest checkpoint (ckpt_last, "
+                         "or the shard cursor under --streaming) and "
+                         "continue; completed runs are skipped")
+    ap.add_argument("--streaming", action="store_true",
+                    help="train from a sharded on-disk cache via "
+                         "Trainer.fit_sharded (>HBM corpora; shard-granular "
+                         "resume). The HDF5 is streamed into the cache once")
+    ap.add_argument("--rows-per-shard", type=int, default=65536,
+                    help="streaming cache shard size (rows)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (overrides env/sitecustomize)")
     from multimodal_supernovae_tpu.parallel.distributed import (
@@ -42,11 +58,15 @@ def main():
     mesh = mesh_from_args(args)
 
     from multimodal_supernovae_tpu.config import load_sweep
-    from multimodal_supernovae_tpu.data.cache import load_or_ingest
-    from multimodal_supernovae_tpu.data.simulation import ingest_simulation
+    from multimodal_supernovae_tpu.data.cache import cache_key, load_or_ingest
+    from multimodal_supernovae_tpu.data.simulation import (
+        ingest_simulation,
+        iter_simulation_chunks,
+    )
     from multimodal_supernovae_tpu.training.experiment import (
         make_sweep_dir,
         run_sweep,
+        run_sweep_streaming,
     )
     from multimodal_supernovae_tpu.utils.io import get_valid_dir
 
@@ -70,6 +90,51 @@ def main():
         noise=bool(extra.get("noise", True)),
         dataset_length=extra.get("dataset_length"),
     )
+
+    if args.streaming:
+        from multimodal_supernovae_tpu.data.streaming import (
+            MANIFEST,
+            ShardedDataset,
+            ValHoldout,
+            load_val_split,
+            save_val_split,
+            write_sharded_cache,
+        )
+
+        val_fraction = float(extra.get("val_fraction", 0.2))
+        key = cache_key(
+            kind="sim-stream", rows_per_shard=args.rows_per_shard,
+            val_fraction=val_fraction, **ingest_config,
+        )
+        stream_dir = os.path.join(args.cache_dir, f"stream-{key}")
+        if os.path.exists(os.path.join(stream_dir, MANIFEST)):
+            sds = ShardedDataset(stream_dir)
+            val_ds = load_val_split(stream_dir)
+            print(f"sharded cache hit: {len(sds)} train rows in "
+                  f"{sds.n_shards} shards + {len(val_ds)} val rows")
+        else:
+            holdout = ValHoldout(val_fraction, seed=0)
+            sds = write_sharded_cache(
+                stream_dir,
+                holdout.wrap(iter_simulation_chunks(**ingest_config)),
+                args.rows_per_shard,
+            )
+            val_ds = holdout.dataset()
+            save_val_split(stream_dir, val_ds)
+            print(f"sharded cache written: {len(sds)} train rows in "
+                  f"{sds.n_shards} shards + {len(val_ds)} val rows")
+        results = run_sweep_streaming(
+            sweep, sds, val_ds, nband=2, sweep_dir=sweep_dir,
+            use_wandb=args.wandb,
+            max_runs=args.max_runs or extra.get("nruns"),
+            epochs_override=args.epochs,
+            mesh=mesh,
+            resume=args.resume,
+        )
+        for r in results:
+            print(f"{r['run_dir']}: best {r['best']}")
+        return
+
     dataset, from_cache = load_or_ingest(
         args.cache_dir, lambda: ingest_simulation(**ingest_config), **ingest_config
     )
@@ -81,6 +146,7 @@ def main():
         max_runs=args.max_runs or extra.get("nruns"),
         epochs_override=args.epochs,
         mesh=mesh,
+        resume=args.resume,
     )
     for r in results:
         print(f"{r['run_dir']}: best {r['best']}")

@@ -3,9 +3,12 @@
 
 TPU pods get preempted and workers die mid-epoch; the reference leaves
 recovery entirely manual (SURVEY.md §5.3 — re-run the sweep id by hand).
-This wrapper closes the loop around any of this repo's training CLIs, all
-of which accept ``--resume`` (restore ckpt_last + epoch counter + RNG
-advance — training/trainer.py):
+This wrapper closes the loop around any of this repo's four training CLIs
+— train.py, pretrain_sim.py (including --streaming, where resume is
+shard-granular), finetune_clip.py, pretrain_masked.py — all of which
+accept ``--resume`` (restore ckpt_last + epoch counter + RNG advance,
+skip grid points that already completed — training/trainer.py,
+training/experiment.py):
 
   python scripts/supervise.py [options] -- python scripts/train.py cfg.yaml
 

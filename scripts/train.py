@@ -37,6 +37,11 @@ def main():
                          "as ONE vmapped program (5 folds @ batch 32: 1.37x "
                          "step speedup + one compile instead of five; "
                          "training/ensemble.py)")
+    ap.add_argument("--parallel-members", action="store_true",
+                    help="like --parallel-folds but also stacks grid points "
+                         "differing in seed or lr (per-member seeds/lrs — a "
+                         "seed ensemble or the reference's lr grid runs as "
+                         "one program)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture an XLA profiler trace of training here")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -128,6 +133,7 @@ def main():
             epochs_override=args.epochs,
             resume=args.resume,
             parallel_folds=args.parallel_folds,
+            parallel_members=args.parallel_members,
         )
     for r in results:
         print(

@@ -463,6 +463,57 @@ def test_run_sweep_parallel_folds_reload(tmp_path):
     assert names == ["lightcurve", "spectral"]
 
 
+def test_run_sweep_parallel_members_matches_sequential(tmp_path):
+    """scripts/train.py --parallel-members: grid points differing in seed
+    AND lr (the reference's config_grid.yaml lr list) stack as one vmapped
+    program — per-member seeds drive distinct inits/splits/shuffles, the lr
+    rides in the stacked optimizer state (VERDICT r3 item 5)."""
+    import yaml as _yaml
+
+    from multimodal_supernovae_tpu.config import load_sweep
+    from multimodal_supernovae_tpu.training.experiment import (
+        make_sweep_dir,
+        run_sweep,
+    )
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "configs",
+                           "smoke.yaml")) as f:
+        raw = _yaml.safe_load(f)
+    raw["parameters"]["lr"] = {"values": [0.003, 0.001]}
+    raw["parameters"]["seed"] = {"values": [0, 1]}
+    path = tmp_path / "member_sweep.yaml"
+    with open(path, "w") as f:
+        _yaml.safe_dump(raw, f)
+    sweep = load_sweep(str(path))
+    ds = make_synthetic_dataset(n=40, n_max_lc=8, nband=2, n_max_sp=64,
+                                seed=3)
+
+    par_dir = make_sweep_dir(sweep, str(tmp_path), "par")
+    seq_dir = make_sweep_dir(sweep, str(tmp_path), "seq")
+    par = run_sweep(sweep, ds, nband=2, folds=None, sweep_dir=par_dir,
+                    parallel_members=True)
+    seq = run_sweep(sweep, ds, nband=2, folds=None, sweep_dir=seq_dir)
+
+    assert len(par) == len(seq) == 4
+    assert len({(r["run_cfg"]["seed"], r["run_cfg"]["lr"]) for r in par}) == 4
+    for p, s in zip(par, seq):
+        assert (p["run_cfg"]["seed"], p["run_cfg"]["lr"]) == (
+            s["run_cfg"]["seed"], s["run_cfg"]["lr"])
+        np.testing.assert_allclose(
+            p["history"]["train_loss"], s["history"]["train_loss"],
+            atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            p["history"]["val_loss"], s["history"]["val_loss"],
+            atol=1e-5, rtol=1e-5)
+        assert p["best"]["epoch"] == s["best"]["epoch"]
+        assert_tree_close(p["state"].params, s["state"].params)
+        # split manifests follow each member's own seed
+        for fname in ("train_filenames.txt", "val_filenames.txt"):
+            a = open(os.path.join(p["run_dir"], fname)).read()
+            b = open(os.path.join(s["run_dir"], fname)).read()
+            assert a == b, fname
+
+
 def test_run_sweep_parallel_folds_requires_grid(tmp_path):
     import yaml as _yaml
 

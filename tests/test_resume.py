@@ -66,6 +66,64 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path):
     assert res["epochs_run"] == 2
 
 
+def test_run_sweep_resume_skips_completed(tmp_path):
+    """continue_sweep semantics (VERDICT r3 item 4): under resume, grid
+    points whose run dir already holds a completed summary.json are not
+    re-walked; unfinished ones resume from their checkpoint."""
+    import yaml
+
+    from multimodal_supernovae_tpu.config import load_sweep
+    from multimodal_supernovae_tpu.training.experiment import (
+        make_sweep_dir,
+        run_sweep,
+    )
+
+    cfg = {
+        "method": "grid",
+        "metric": {"goal": "minimize", "name": "best_val_loss"},
+        "parameters": {
+            "n_out": {"values": [8]}, "enc_dim": {"values": [8]},
+            "transformer_depth": {"values": [1]}, "emb": {"values": [8]},
+            "heads": {"values": [2]}, "agg": {"values": ["mean"]},
+            "emb_spectral": {"values": [8]},
+            "transformer_depth_spectral": {"values": [1]},
+            "agg_spectral": {"values": ["mean"]},
+            "lr": {"values": [0.003, 0.001]},
+            "batchsize": {"values": [8]}, "epochs": {"values": [2]},
+            "seed": {"values": [0]},
+        },
+        "extra_args": {
+            "combinations": ["lightcurve", "spectral"], "nruns": 2,
+            "val_fraction": 0.25,
+        },
+    }
+    path = tmp_path / "sweep.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    sweep = load_sweep(str(path))
+    sweep_dir = make_sweep_dir(sweep, str(tmp_path), "sw")
+    ds = make_synthetic_dataset(n=32, n_max_lc=8, n_max_sp=8, seed=0)
+
+    res1 = run_sweep(sweep, ds, nband=2, folds=None, sweep_dir=sweep_dir)
+    assert len(res1) == 2 and not any(r.get("skipped") for r in res1)
+
+    # everything finished: a resumed sweep re-walks nothing
+    res2 = run_sweep(sweep, ds, nband=2, folds=None, sweep_dir=sweep_dir,
+                     resume=True)
+    assert [r["skipped"] for r in res2] == [True, True]
+    assert res2[0]["best"]["value"] is not None
+
+    # run-1 incomplete (summary gone): only IT is re-entered, from ckpt_last
+    os.remove(os.path.join(sweep_dir, "run-1", "summary.json"))
+    res3 = run_sweep(sweep, ds, nband=2, folds=None, sweep_dir=sweep_dir,
+                     resume=True)
+    assert res3[0].get("skipped") is True
+    assert "skipped" not in res3[1]
+    assert res3[1]["metric_rows"] == []  # already at epoch target: resumed,
+    # found nothing left to train, re-wrote its summary
+    assert os.path.exists(os.path.join(sweep_dir, "run-1", "summary.json"))
+
+
 def test_restore_errors_are_specific(tmp_path):
     """Missing checkpoints and structure mismatches get DISTINCT errors
     (ADVICE r3): a run dir with no checkpoint must not be reported as the
