@@ -49,7 +49,13 @@ def time_positional_encoding(t: jax.Array, d_emb: int, norm: float) -> jax.Array
 class SelfAttention(nn.Module):
     """Multi-head self-attention: separate bias-free K/Q/V projections, the
     reference's full-emb e**-1/4 scaling, additive-mask softmax, and a biased
-    head-unification projection (src/transformer_utils.py:8-89)."""
+    head-unification projection (src/transformer_utils.py:8-89).
+
+    On TPU the whole module can run as ONE Pallas kernel with the
+    projections + head fold + unify inside (ops/qkv_attention.py), which
+    kills the custom-call boundary relayouts around the flash kernel.
+    Opt-in via ``MMSN_FUSED_QKV=1`` (see benchmarks/probe_qkv.json for the
+    measured tradeoff); the param tree is identical either way."""
 
     emb: int
     heads: int = 2
@@ -58,10 +64,29 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        import os
+
+        from ..ops import qkv_attention as _qkv
+
         b, t, e = x.shape
         assert e == self.emb, f"input dim {e} != layer emb {self.emb}"
         assert e % self.heads == 0
         s = e // self.heads
+
+        env = os.environ.get("MMSN_FUSED_QKV")
+        use_fused = env == "1" and (
+            jax.default_backend() == "tpu" and _qkv.supports(t, e, self.heads)
+        )
+        if use_fused:
+            wk, _ = _DenseParams(e, e, False, name="tokeys")()
+            wq, _ = _DenseParams(e, e, False, name="toqueries")()
+            wv, _ = _DenseParams(e, e, False, name="tovalues")()
+            wu, bu = _DenseParams(e, e, True, name="unifyheads")()
+            cdt = self.dtype or x.dtype
+            return _qkv.fused_qkv_attention(
+                x.astype(cdt), mask, wq, wk, wv, wu, bu,
+                heads=self.heads, emb=e,
+            )
 
         keys = nn.Dense(e, use_bias=False, dtype=self.dtype, name="tokeys")(x)
         queries = nn.Dense(e, use_bias=False, dtype=self.dtype, name="toqueries")(x)
