@@ -54,8 +54,11 @@ class SelfAttention(nn.Module):
     On TPU the whole module can run as ONE Pallas kernel with the
     projections + head fold + unify inside (ops/qkv_attention.py), which
     kills the custom-call boundary relayouts around the flash kernel.
-    Opt-in via ``MMSN_FUSED_QKV=1`` (see benchmarks/probe_qkv.json for the
-    measured tradeoff); the param tree is identical either way."""
+    Opt-in via ``MMSN_FUSED_QKV=1`` — measured and REJECTED as default in
+    round 4 (benchmarks/PERF.md: the whole-sequence per-sample score
+    buffer caps samples-per-program at 1 on the LC tower, re-entering the
+    grid-overhead regime; 25.2 vs 15.7 ms/step @B=256). The param tree is
+    identical either way."""
 
     emb: int
     heads: int = 2
