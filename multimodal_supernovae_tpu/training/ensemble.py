@@ -26,8 +26,11 @@ by tests/test_ensemble.py against sequential Trainer runs.
 
 Constraints (documented, not silent): members share one model architecture
 and one optimizer STRUCTURE. Per-member learning rates are supported (the
-lr rides in the optimizer state, see ``_scale_by_member_lr``); per-member
-``StepLR``/freeze configurations are not. Members whose train sets need
+lr rides in the optimizer state, see ``_scale_by_member_lr``) and compose
+with a group-uniform ``StepLR`` schedule and/or freeze mask (the staircase
+decay factor and the path-structural mask are member-independent, so they
+stack; only per-member step_size/gamma/freeze SHAPES are unsupported).
+Members whose train sets need
 fewer steps than the ensemble-wide ``max`` are wrap-padded with extra
 steps from their own permutation — identical to sequential training when
 fold sizes tie (the stratified k-fold case up to remainder ±1).
@@ -133,19 +136,55 @@ def _scale_by_member_lr(init_lr: float) -> optax.GradientTransformation:
 
 
 def build_member_lr_optimizer(
-    lr: float, weight_decay: float = 0.0
+    lr: float,
+    weight_decay: float = 0.0,
+    step_size: Optional[int] = None,
+    gamma: Optional[float] = None,
+    steps_per_epoch: int = 1,
+    freeze: Optional[Callable] = None,
+    params: Any = None,
 ) -> optax.GradientTransformation:
-    """The ensemble counterpart of optim.build_optimizer's default branch
-    (torch-style L2 decay + RAdam + optax.flatten), with the lr stored in
-    the optimizer state so ``set_member_lrs`` can give every member its
-    own. StepLR and freezing are per-structure features the stacked state
-    cannot vary per member — use the standard optimizer (shared lr) there."""
+    """The ensemble counterpart of optim.build_optimizer (torch-style L2
+    decay + RAdam + optional StepLR + optional freezing), with the lr
+    stored in the optimizer state so ``set_member_lrs`` can give every
+    member its own.
+
+    A group-uniform StepLR composes exactly with per-member lrs: the
+    staircase decay factor is member-independent and RAdam's update is
+    linear in lr, so ``radam(1.0) -> scale_by_schedule(decay) ->
+    scale(member_lr)`` reproduces ``optax.radam(StepLR(member_lr))`` to
+    float-multiplication reassociation (one reordered scalar multiply).
+    Freezing is a path-structural mask shared by all members — exactly
+    optim.build_optimizer's ``multi_transform`` branch."""
     chain = []
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.radam(learning_rate=1.0))
+    if step_size is not None and gamma is not None:
+        chain.append(
+            optax.scale_by_schedule(
+                optax.exponential_decay(
+                    init_value=1.0,
+                    transition_steps=step_size * steps_per_epoch,
+                    decay_rate=gamma,
+                    staircase=True,
+                )
+            )
+        )
     chain.append(_scale_by_member_lr(lr))
-    return optax.flatten(optax.chain(*chain))
+    tx = optax.chain(*chain)
+    if freeze is not None:
+        from .optim import freeze_mask
+
+        if params is None:
+            raise ValueError("freezing requires the params pytree")
+        # per-leaf state like optim.build_optimizer's frozen branch (flatten
+        # cannot see through MaskedNode placeholders)
+        return optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            freeze_mask(params, freeze),
+        )
+    return optax.flatten(tx)
 
 
 def set_member_lrs(stacked_state: TrainState, lrs: Sequence[float]) -> TrainState:
@@ -461,10 +500,6 @@ def fit_members(
     example = data.take(jnp.arange(cfg.batch_size) % len(dataset))
     lrs = [m.lr for m in members]
     varied_lr = any(lr is not None and lr != cfg.lr for lr in lrs)
-    if varied_lr and (cfg.step_size is not None or cfg.gamma is not None):
-        raise ValueError("per-member lr is not supported with StepLR")
-    if varied_lr and freeze is not None:
-        raise ValueError("per-member lr is not supported with freezing")
 
     def init_params(seed: int):
         variables = model.init(jax.random.PRNGKey(seed), example)
@@ -475,7 +510,15 @@ def fit_members(
 
     member_inits = [init_params(m.seed) for m in members]
     if varied_lr:
-        tx = build_member_lr_optimizer(cfg.lr, cfg.weight_decay)
+        tx = build_member_lr_optimizer(
+            cfg.lr,
+            cfg.weight_decay,
+            step_size=cfg.step_size,
+            gamma=cfg.gamma,
+            steps_per_epoch=steps,
+            freeze=freeze,
+            params=member_inits[0][0],
+        )
     else:
         from .optim import build_optimizer
 

@@ -143,6 +143,77 @@ def test_member_lrs_match_sequential_lr_runs():
     )
 
 
+def test_member_lrs_with_steplr_match_sequential():
+    """An lr sweep under a group-uniform StepLR schedule (the reference's
+    masked-pretrain lr_scheduler_kwargs) as one stacked program: member i
+    equals a sequential Trainer.fit at (lr_i, step_size, gamma). The
+    staircase decay is member-independent, so it composes with the stored
+    per-member lr (build_member_lr_optimizer)."""
+    ds = make_synthetic_dataset(n=32, n_max_lc=10, n_max_sp=12, seed=2)
+    idx = np.arange(32)
+    lrs = [3e-3, 3e-4]
+    members = [
+        Member(f"lr-{i}", 0, idx[:24], idx[24:], lr=lr)
+        for i, lr in enumerate(lrs)
+    ]
+    # step_size=1 epoch, gamma=0.5: the decay fires between every epoch,
+    # so a schedule/step-count mismatch would break equality immediately
+    cfg = TrainerConfig(epochs=3, batch_size=8, lr=1e-3, seed=0,
+                        step_size=1, gamma=0.5)
+    model = clip_model(loss="softmax", logit_scale_init=10.0)
+
+    res = fit_members(model, "contrastive", cfg, ds, members)
+    for m, lr in zip(members, lrs):
+        seq = sequential_fit(model, "contrastive", cfg, ds, m, lr=lr)
+        par = res["members"][m.name]
+        np.testing.assert_allclose(
+            par["history"]["train_loss"], seq["history"]["train_loss"],
+            atol=1e-5, rtol=1e-5)
+        assert_tree_close(par["state"].params, seq["state"].params)
+
+
+def test_member_lrs_with_freeze_match_sequential():
+    """Varied per-member lr composed with a frozen backbone (the finetune
+    recipe sweeping lr): member i equals a sequential frozen run at lr_i,
+    and frozen leaves never move."""
+    from multimodal_supernovae_tpu.training.optim import (
+        freeze_encoder_except_projection,
+    )
+
+    ds = make_synthetic_dataset(n=32, n_max_lc=10, n_max_sp=12, seed=3)
+    idx = np.arange(32)
+    lrs = [3e-3, 1e-3]
+    members = [
+        Member(f"lr-{i}", 0, idx[:24], idx[24:], lr=lr)
+        for i, lr in enumerate(lrs)
+    ]
+    cfg = TrainerConfig(epochs=2, batch_size=8, lr=5e-4, seed=0)
+    model = clip_model(loss="softmax", logit_scale_init=10.0)
+    freeze = freeze_encoder_except_projection("lightcurve_encoder")
+
+    res = fit_members(model, "contrastive", cfg, ds, members, freeze=freeze)
+    example = ds.host_batch(np.arange(8))
+    init = model.init(jax.random.PRNGKey(0), example)["params"]
+    for m, lr in zip(members, lrs):
+        c = TrainerConfig(**{**cfg.__dict__, "seed": m.seed, "lr": lr})
+        trainer = Trainer(model, task="contrastive", cfg=c, run_dir=None,
+                          freeze=freeze)
+        seq = trainer.fit(
+            ds.subset(m.train_indices), ds.subset(m.val_indices)
+        )
+        par = res["members"][m.name]
+        np.testing.assert_allclose(
+            par["history"]["train_loss"], seq["history"]["train_loss"],
+            atol=1e-5, rtol=1e-5)
+        assert_tree_close(par["state"].params, seq["state"].params)
+        enc = par["state"].params["lightcurve_encoder"]
+        np.testing.assert_allclose(
+            np.asarray(enc["embedding_mag"]["kernel"]),
+            np.asarray(init["lightcurve_encoder"]["embedding_mag"]["kernel"]),
+            atol=1e-7,
+        )
+
+
 def test_member_lr_optimizer_equals_standard(rng):
     """Unit: build_member_lr_optimizer(lr) == build_optimizer(lr) updates."""
     params = {"w": jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32)),

@@ -246,3 +246,24 @@ def test_training_dynamics_match_reference(tmp_path):
     # the trajectory must DESCEND and agree step-for-step
     assert t_losses[-1] < t_losses[0]
     np.testing.assert_allclose(j_losses, t_losses, rtol=0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_parity_recipe_smoke(tmp_path):
+    """Full-recipe two-stack parity harness (benchmarks/parity_recipe.py),
+    smoke-scale: 2 epochs x 2 steps at the maven-lite dims. Pins that the
+    committed benchmarks/parity_recipe.json is reproducible — torch and jax
+    track each other from identical init through real optimizer steps.
+    The committed 20-epoch artifact (280 steps, AUC 0.49 -> ~0.7) is the
+    full-convergence version of this run."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "benchmarks"))
+    from parity_recipe import main as parity_main
+
+    res = parity_main(epochs=2, n_train=128, batch=64,
+                      out_path=str(tmp_path / "parity.json"))
+    assert res["checks"]["val_loss_within_tol"], res["final"]
+    assert res["checks"]["auc_within_tol"], res["final"]
+    # 2 epochs is too short for the AUC>0.6 check; tracking must be tight
+    assert res["final"]["epoch1_trainloss_abs_diff"] < 1e-3, res["final"]
+    assert (tmp_path / "parity.json").exists()
