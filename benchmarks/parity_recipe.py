@@ -100,6 +100,48 @@ def torch_forward(tmodel, tb):
     return tmodel(None, x_lc, t_lc, m_lc, x_sp, t_sp, m_sp)
 
 
+def _build_result(hist, epochs, steps_per_epoch, n_train, n_val, batch,
+                  t_start):
+    """Result dict for the epochs run SO FAR (checks use the latest epoch)."""
+    done = len(hist["torch"]["val_loss"])
+    dval = abs(hist["torch"]["val_loss"][-1] - hist["jax"]["val_loss"][-1])
+    dauc = abs(hist["torch"]["auc_val"][-1] - hist["jax"]["auc_val"][-1])
+    step0 = abs(hist["torch"]["train_loss"][0] - hist["jax"]["train_loss"][0])
+    descended = (hist["torch"]["val_loss"][-1] < hist["torch"]["val_loss"][0]
+                 and hist["jax"]["val_loss"][-1] < hist["jax"]["val_loss"][0])
+    learned = min(hist["torch"]["auc_val"][-1],
+                  hist["jax"]["auc_val"][-1]) > 0.6
+    return {
+        "recipe": {
+            "source": "pretrain_config/maven_pretrain_config.yaml "
+                      "(+ documented deviations: lr, batch, dropout=0)",
+            "epochs": epochs, "epochs_done": done, "n_train": n_train,
+            "n_val": n_val, "batch": batch,
+            "steps": done * steps_per_epoch,
+            "lr": LR, "weight_decay": WEIGHT_DECAY,
+            "logit_scale": LOGIT_SCALE, "noise": False,
+        },
+        "history": hist,
+        "final": {
+            "torch_val_loss": hist["torch"]["val_loss"][-1],
+            "jax_val_loss": hist["jax"]["val_loss"][-1],
+            "val_loss_abs_diff": dval,
+            "torch_auc_val": hist["torch"]["auc_val"][-1],
+            "jax_auc_val": hist["jax"]["auc_val"][-1],
+            "auc_abs_diff": dauc,
+            "epoch1_trainloss_abs_diff": step0,
+        },
+        "tolerances": {"val_loss": TOL_VAL_LOSS, "auc": TOL_AUC},
+        "checks": {
+            "val_loss_within_tol": dval < TOL_VAL_LOSS,
+            "auc_within_tol": dauc < TOL_AUC,
+            "both_descended": bool(descended),
+            "both_learned_auc_gt_0.6": bool(learned),
+        },
+        "wall_s": round(time.time() - t_start, 1),
+    }
+
+
 def main(epochs=20, n_train=896, batch=64, out_path=None):
     ref = load_reference_models()
     n_val = 128
@@ -193,46 +235,17 @@ def main(epochs=20, n_train=896, batch=64, out_path=None):
               f"val {tvloss:.4f} auc {t_auc:.4f} | "
               f"jax train {np.mean(j_ep):.4f} val {float(jvloss):.4f} "
               f"auc {j_auc:.4f}", flush=True)
+        # Write the json AFTER EVERY EPOCH (atomically): the torch side is
+        # slow on this 1-core host, so a preempted run still leaves the
+        # furthest-progressed curves + checks on disk.
+        result = _build_result(hist, epochs, steps_per_epoch,
+                               n_train, n_val, batch, t_start)
+        out = out_path or os.path.join(os.path.dirname(__file__),
+                                       "parity_recipe.json")
+        with open(out + ".tmp", "w") as f:
+            json.dump(result, f, indent=2)
+        os.replace(out + ".tmp", out)
 
-    dval = abs(hist["torch"]["val_loss"][-1] - hist["jax"]["val_loss"][-1])
-    dauc = abs(hist["torch"]["auc_val"][-1] - hist["jax"]["auc_val"][-1])
-    step0 = abs(hist["torch"]["train_loss"][0] - hist["jax"]["train_loss"][0])
-    descended = (hist["torch"]["val_loss"][-1] < hist["torch"]["val_loss"][0]
-                 and hist["jax"]["val_loss"][-1] < hist["jax"]["val_loss"][0])
-    learned = min(hist["torch"]["auc_val"][-1],
-                  hist["jax"]["auc_val"][-1]) > 0.6
-    result = {
-        "recipe": {
-            "source": "pretrain_config/maven_pretrain_config.yaml "
-                      "(+ documented deviations: lr, batch, dropout=0)",
-            "epochs": epochs, "n_train": n_train, "n_val": n_val,
-            "batch": batch, "steps": epochs * steps_per_epoch,
-            "lr": LR, "weight_decay": WEIGHT_DECAY,
-            "logit_scale": LOGIT_SCALE, "noise": False,
-        },
-        "history": hist,
-        "final": {
-            "torch_val_loss": hist["torch"]["val_loss"][-1],
-            "jax_val_loss": hist["jax"]["val_loss"][-1],
-            "val_loss_abs_diff": dval,
-            "torch_auc_val": hist["torch"]["auc_val"][-1],
-            "jax_auc_val": hist["jax"]["auc_val"][-1],
-            "auc_abs_diff": dauc,
-            "epoch1_trainloss_abs_diff": step0,
-        },
-        "tolerances": {"val_loss": TOL_VAL_LOSS, "auc": TOL_AUC},
-        "checks": {
-            "val_loss_within_tol": dval < TOL_VAL_LOSS,
-            "auc_within_tol": dauc < TOL_AUC,
-            "both_descended": bool(descended),
-            "both_learned_auc_gt_0.6": bool(learned),
-        },
-        "wall_s": round(time.time() - t_start, 1),
-    }
-    out = out_path or os.path.join(os.path.dirname(__file__),
-                                   "parity_recipe.json")
-    with open(out, "w") as f:
-        json.dump(result, f, indent=2)
     print(json.dumps(result["final"], indent=2))
     ok = all(result["checks"].values())
     print("PARITY", "OK" if ok else "FAIL", "- wrote", out)
