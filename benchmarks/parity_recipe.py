@@ -143,6 +143,9 @@ def _build_result(hist, epochs, steps_per_epoch, n_train, n_val, batch,
 
 
 def main(epochs=20, n_train=896, batch=64, out_path=None):
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs} (the result is "
+                         "built from per-epoch history)")
     ref = load_reference_models()
     n_val = 128
     ds = make_synthetic_dataset(n=n_train + n_val, n_max_lc=100, nband=2,
@@ -244,6 +247,7 @@ def main(epochs=20, n_train=896, batch=64, out_path=None):
                                        "parity_recipe.json")
         with open(out + ".tmp", "w") as f:
             json.dump(result, f, indent=2)
+            f.write("\n")
         os.replace(out + ".tmp", out)
 
     print(json.dumps(result["final"], indent=2))
