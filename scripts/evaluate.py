@@ -165,6 +165,11 @@ def main():
     from multimodal_supernovae_tpu.utils.platform import select_platform
 
     select_platform(args.platform)
+    from multimodal_supernovae_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     from multimodal_supernovae_tpu.data.ztfbts import load_ztfbts
     from multimodal_supernovae_tpu.evaluation.metrics import merge_kfold_results

@@ -39,6 +39,11 @@ def main():
     from multimodal_supernovae_tpu.utils.platform import select_platform
 
     select_platform(args.platform)
+    from multimodal_supernovae_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     from multimodal_supernovae_tpu.data.ztfbts import load_ztfbts
     from multimodal_supernovae_tpu.evaluation.embeddings import get_embeddings

@@ -63,6 +63,11 @@ def main():
     from multimodal_supernovae_tpu.utils.platform import select_platform
 
     select_platform(args.platform)
+    from multimodal_supernovae_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     import jax
 

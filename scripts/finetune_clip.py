@@ -53,6 +53,11 @@ def main():
     from multimodal_supernovae_tpu.utils.platform import select_platform
 
     select_platform(args.platform)
+    from multimodal_supernovae_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     mesh = mesh_from_args(args)
 
     from multimodal_supernovae_tpu.config import load_sweep

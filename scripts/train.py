@@ -57,6 +57,11 @@ def main():
     from multimodal_supernovae_tpu.utils.platform import select_platform
 
     select_platform(args.platform)
+    from multimodal_supernovae_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     # Multi-host: joins the jax.distributed runtime when launched on a pod
     # (auto-detected) or under MMSN_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID.
