@@ -48,13 +48,30 @@ def main():
         add_mesh_args,
         mesh_from_args,
     )
+    from multimodal_supernovae_tpu.training.preflight import add_check_args
 
     add_mesh_args(ap)
+    add_check_args(ap)
     args = ap.parse_args()
 
     from multimodal_supernovae_tpu.utils.platform import select_platform
 
-    select_platform(args.platform)
+    # --check needs no device: stay on CPU so the TPU is never claimed
+    select_platform(args.platform or ("cpu" if args.check else None))
+
+    if args.check:
+        from multimodal_supernovae_tpu.config import load_sweep
+        from multimodal_supernovae_tpu.training.preflight import run_cli_check
+
+        sweep = load_sweep(args.config)
+        extra = sweep.extra_args
+        sys.exit(run_cli_check(
+            sweep,
+            nband=2,
+            lc_len=2 * int(extra.get("max_lightcurve_data_len", 100)),
+            sp_len=int(extra.get("max_spectral_data_len", 220)),
+            args=args,
+        ))
     from multimodal_supernovae_tpu.utils.compile_cache import (
         enable_compilation_cache,
     )
