@@ -148,10 +148,18 @@ def test_preflight_counts_pretrain_leaf_matches(tmp_path):
     ckpt = tmp_path / "masked"
     save_params(str(ckpt), variables["params"])
 
-    extra2 = dict(extra, pretrain_lc_path=str(ckpt))
+    # freeze_backbone_lc also exercises the frozen (multi_transform)
+    # optimizer under eval_shape
+    extra2 = dict(extra, pretrain_lc_path=str(ckpt), freeze_backbone_lc=True)
     rep = preflight_run(run_cfg, extra2, 2, lc, sp)
     matched, total = rep["pretrain_leaves_matched"]
     assert 0 < matched < total  # encoder leaves land, projections don't
+
+    # unreadable checkpoint path -> the preflight surfaces it as an error
+    with pytest.raises(Exception):
+        preflight_run(
+            run_cfg, dict(extra, pretrain_lc_path=str(tmp_path)), 2, lc, sp
+        )
 
     # wrong checkpoint -> 0 matches -> hard error
     clip = CLIPModel(build_clip_config(run_cfg, extra, 2))
