@@ -51,3 +51,24 @@ def test_reference_grid_carries_its_lr_and_fold_axes():
     folds = sorted(pt.get("foldnumber") for pt in points)
     assert folds == [0, 1, 2, 3, 4]
     assert all("lr" in pt for pt in points)
+
+
+@needs_ref
+@pytest.mark.parametrize("rel,n_points", SWEEP_YAMLS)
+def test_reference_sweeps_preflight_clean(rel, n_points):
+    """Stronger than loading: every grid point of the reference's own sweep
+    YAMLs shape-checks a FULL train step here (jax.eval_shape preflight —
+    the scripts' --check path)."""
+    from multimodal_supernovae_tpu.training.preflight import preflight_sweep
+
+    sweep = load_sweep(os.path.join(REF, rel))
+    extra = sweep.extra_args
+    reports, errors = preflight_sweep(
+        sweep,
+        nband=2,
+        lc_len=2 * int(extra.get("max_lightcurve_data_len", 100)),
+        sp_len=int(extra.get("max_spectral_data_len", 1000)),
+    )
+    assert errors == []
+    assert len(reports) == n_points
+    assert all(r["n_params"] > 0 for r in reports)
