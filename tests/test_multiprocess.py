@@ -59,15 +59,26 @@ def _run_workers(n_proc: int, local_devices: int, n_model: int = 1,
             env=env,
         ))
     results = []
-    for p in procs:
-        # 1200 s: each worker pays a full JAX import + CPU compile; on the
-        # saturated 1-core CI host the whole slow suite shares that core and
-        # 600 s expired spuriously (r2 and r3 both observed the flake).
-        out, err = p.communicate(timeout=1200)
-        assert p.returncode == 0, f"worker failed:\nSTDOUT:{out}\nSTDERR:{err}"
-        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
-        assert line, f"no RESULT line:\n{out}\n{err}"
-        results.append(json.loads(line[-1][len("RESULT "):]))
+    try:
+        for p in procs:
+            # 1200 s: each worker pays a full JAX import + CPU compile; on
+            # the saturated 1-core CI host the whole slow suite shares that
+            # core and 600 s expired spuriously (r2 and r3 both observed the
+            # flake).
+            out, err = p.communicate(timeout=1200)
+            assert p.returncode == 0, f"worker failed:\nSTDOUT:{out}\nSTDERR:{err}"
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+            assert line, f"no RESULT line:\n{out}\n{err}"
+            results.append(json.loads(line[-1][len("RESULT "):]))
+    finally:
+        # On a timeout or a failed worker, reap EVERY child: a surviving
+        # worker pair saturates the 1-core host and cascades barrier
+        # deadline failures into the remaining two-process tests (observed
+        # in the r5 full-suite run: one 1200 s timeout -> three failures).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return results
 
 
