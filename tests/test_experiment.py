@@ -156,12 +156,7 @@ def test_masked_builder(tmp_path):
 
 def test_evaluate_supervised_run(tmp_path):
     """evaluate_run scores supervised runs on their own head predictions."""
-    import sys
-
-    sys.path.insert(0, os.path.join(REPO, "scripts"))
-    import importlib
-
-    evaluate = importlib.import_module("evaluate")
+    from multimodal_supernovae_tpu.cli import evaluate
 
     sweep = load_sweep(SMOKE)
     sweep.extra_args = dict(sweep.extra_args, regression=True,
@@ -183,12 +178,7 @@ def test_evaluate_supervised_run(tmp_path):
 
 def test_evaluate_run_probes(sweep_results, tmp_path):
     """The evaluate driver's probe core over a finished run."""
-    import sys
-
-    sys.path.insert(0, os.path.join(REPO, "scripts"))
-    import importlib
-
-    evaluate = importlib.import_module("evaluate")
+    from multimodal_supernovae_tpu.cli import evaluate
 
     sweep, sweep_dir, ds, results = sweep_results
     out = {"regression": [], "classification": [],

@@ -9,9 +9,8 @@ import sys
 import pytest
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-import fetch_data  # noqa: E402
+from multimodal_supernovae_tpu.cli import fetch_data  # noqa: E402
 from fixtures import write_mini_sim_hdf5, write_mini_ztfbts  # noqa: E402
 
 

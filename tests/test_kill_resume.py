@@ -69,8 +69,10 @@ def test_sigkill_resume_bit_identical(tmp_path):
 
 
 def test_supervisor_propagates_success_and_failure(tmp_path):
-    sys.path.insert(0, os.path.join(HERE, "..", "scripts"))
-    from supervise import build_restart_cmd, supervise
+    from multimodal_supernovae_tpu.cli.supervise import (
+        build_restart_cmd,
+        supervise,
+    )
 
     assert supervise([sys.executable, "-c", "pass"], max_restarts=2,
                      backoff=0.0) == 0
